@@ -1,0 +1,256 @@
+"""Configuration system.
+
+The reference drives everything through a single argparse parser
+(reference `main.py:1461-1545`). We keep a typed dataclass as the source
+of truth and provide an argparse shim that accepts the reference's exact
+flag grammar, including its quirks:
+
+  * single-dash boolean flags typed `bool` that argparse cannot turn off
+    (`-masker/-critic/-cload/-mload/-staticnorm/-salglobal/-visbesteval`,
+    reference `main.py:1466-1484`) — preserved;
+  * dead flags that are parsed but never read (`--lr`, `-soft`,
+    `-grabcut`, `-higheval`, `-debug`, `-clippify`, `-freeze`, `-trunk`,
+    `--runs`, `-visdataset`, `-softmask`, `--false`, `--clossfak`) —
+    accepted and ignored (a warning is emitted once);
+  * post-parse derivations (reference `main.py:1536-1545`):
+    `workers=(1,1,1)`, `live = not frozen`, `inject = not noinject`,
+    `name = model`, and the `-test` implication block.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# Flags the reference parses but never reads anywhere in main.py
+# (grep-verified; see SURVEY.md §5 "Config / flag system").
+DEAD_FLAGS = (
+    "lr", "soft", "grabcut", "higheval", "debug", "clippify", "freeze",
+    "trunk", "runs", "visdataset", "softmask", "false", "clossfak",
+    "cleaned", "viscritic",
+)
+
+
+@dataclass
+class Config:
+    """Typed mirror of the reference CLI namespace (main.py:1461-1533)."""
+
+    # mode switches
+    train: bool = False
+    eval: bool = False
+    process: bool = False
+    test: bool = False
+    concatenated: bool = False
+
+    # model / training toggles
+    cleaned: bool = False
+    frozen: bool = False
+    masker: bool = True
+    critic: bool = True
+    cload: bool = True
+    mload: bool = True
+    staticnorm: bool = True
+    noinject: bool = False
+    viscritic: bool = False
+    vismasker: bool = False
+    visbesteval: bool = True
+    separate: bool = False
+    salience: bool = False
+    process_salience: bool = False
+    salglobal: bool = True
+    crf: bool = False
+    directeval: bool = False
+    resimages: bool = False
+    noevalmode: bool = False
+
+    # dead-but-accepted (reference quirk)
+    clippify: bool = False
+    debug: bool = False
+    freeze: bool = False
+    visdataset: bool = False
+    trunk: bool = False
+    higheval: bool = False
+    grabcut: bool = False
+    soft: bool = False
+    softmask: bool = False
+    false: bool = False
+
+    # numeric / string options
+    salience_thresh: float = 1.5
+    eval_thresh: float = 0.05
+    dropout: float = 0.3
+    lr: float = 0.00005          # dead in reference; Adam uses defaults
+    threshrew: float = 0.0
+    trainasvis: int = 0
+    envname: str = "Treechop"
+    visname: str = "curves"
+    datamode: str = "trunk"
+    purevis: str = ""
+    sortidx: int = 1
+    chfak: int = 1
+    shift: int = 12
+    lfak: int = 5
+    neck: int = 32
+    clossfak: int = 5
+    cepochs: int = 15
+    mepochs: int = 1
+    high_rew_thresh: float = 0.7
+    low_rew_thresh: float = 0.3
+    L2: float = 0.0
+    L1: float = 0.5
+    saveevery: int = 5
+    visevery: int = 100
+    rewidx: int = 1
+    gammas: str = "0.98-0.97-0.96-0.95"
+    testsize: int = 5000
+    datasize: int = 100000
+    name: str = "default-model"
+    model: str = "default-model"
+    runs: int = 1
+    source_imgs: str = ""
+    mask_output_imgs: str = "results"
+    output_video: str = ""
+    binarymaskthreshold: float = 0.5
+
+    # derived (main.py:1536-1545)
+    workers: Tuple[int, int, int] = (1, 1, 1)
+    live: bool = True
+    inject: bool = True
+
+    # --- framework-only extensions (not in the reference CLI) ---
+    # these never change reference-compatible behavior at defaults
+    seed: int = 0
+    data_parallel: int = 0       # 0 = use all local devices
+    use_pallas: bool = True      # pallas kernels on TPU hot paths
+    batch_size: int = 64         # critic-phase batch (main.py:113 default)
+    infer_batch: int = 128       # eval/process batch (main.py:910,1119)
+    bf16: bool = False           # bfloat16 compute for the conv stack
+    synthetic_data: bool = False  # use the synthetic fixture dataset
+
+    def derive(self) -> "Config":
+        """Reproduce the reference's post-parse derivations
+        (main.py:1536-1545)."""
+        self.workers = (1, 1, 1)
+        self.live = not self.frozen
+        self.inject = not self.noinject
+        self.name = self.model
+        if self.test:
+            self.eval = True
+            self.train = not self.cload
+            self.visbesteval = True
+            self.crf = False
+            self.salience = True
+        return self
+
+    @property
+    def dims(self) -> Tuple[int, int, int, int]:
+        """Encoder channel schedule (nets.py:161 default [8,8,8,16])."""
+        return (8 * self.chfak, 8 * self.chfak, 8 * self.chfak,
+                16 * self.chfak)
+
+    @property
+    def bottleneck(self) -> int:
+        return self.neck * self.chfak
+
+    def critic_fingerprint(self) -> str:
+        """Checkpoint-name fingerprint for the critic
+        (reference main.py:86-88): keys with falsy values are dropped."""
+        keys = ("rewidx", "cepochs", "datamode", "datasize", "threshrew",
+                "shift", "chfak", "dropout")
+        d = dataclasses.asdict(self)
+        return "-".join(f"{k}={d[k]}" for k in keys if d[k])
+
+    def masker_fingerprint(self) -> str:
+        """Checkpoint-name fingerprint for the masker (main.py:89-91)."""
+        keys = ("mepochs", "L1", "L2", "inject")
+        d = dataclasses.asdict(self)
+        return "-".join(f"{k}={d[k]}" for k in keys if d[k])
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """The reference's exact flag grammar (main.py:1462-1533).
+
+    Single-dash `type=bool` flags replicate the reference quirk: passing
+    any value (even "False") turns them on; absence keeps the default.
+    """
+    p = argparse.ArgumentParser(prog="cgs-tpu")
+    store_true = dict(action="store_true")
+    # action flags (main.py:1463-1495)
+    for flag in ("-train", "-cleaned", "-frozen", "-clippify", "-debug",
+                 "-noinject", "-freeze", "-viscritic", "-vismasker",
+                 "-visdataset", "-trunk", "-higheval", "-separate",
+                 "-salience", "-process_salience", "-grabcut", "-crf",
+                 "-directeval", "-soft", "-resimages", "-noevalmode",
+                 "-eval", "-process", "-test", "-concatenated",
+                 "-softmask"):
+        p.add_argument(flag, **store_true)
+    # bool-typed defaults-on flags (non-disableable, reference quirk)
+    for flag in ("-masker", "-critic", "-cload", "-mload", "-staticnorm",
+                 "-salglobal", "-visbesteval"):
+        p.add_argument(flag, type=bool, default=True)
+
+    p.add_argument("--salience-thresh", type=float, default=1.5)
+    p.add_argument("--eval-thresh", type=float, default=0.05)
+    p.add_argument("--dropout", type=float, default=0.3)
+    p.add_argument("--lr", type=float, default=0.00005)
+    p.add_argument("--threshrew", type=float, default=0)
+    p.add_argument("--trainasvis", type=int, default=0)
+    p.add_argument("--false", type=bool, default=False)
+    p.add_argument("--envname", type=str, default="Treechop")
+    p.add_argument("--visname", type=str, default="curves")
+    p.add_argument("--datamode", type=str, default="trunk")
+    p.add_argument("--purevis", type=str, default="")
+    p.add_argument("--sortidx", type=int, default=1)
+    p.add_argument("--chfak", type=int, default=1)
+    p.add_argument("--shift", type=int, default=12)
+    p.add_argument("--lfak", type=int, default=5)
+    p.add_argument("--neck", type=int, default=32)
+    p.add_argument("--clossfak", type=int, default=5)
+    p.add_argument("--cepochs", type=int, default=15)
+    p.add_argument("--mepochs", type=int, default=1)
+    p.add_argument("--high-rew-thresh", type=float, default=0.7)
+    p.add_argument("--low-rew-thresh", type=float, default=0.3)
+    p.add_argument("--L2", type=float, default=0.0)
+    p.add_argument("--L1", type=float, default=0.5)
+    p.add_argument("--saveevery", type=int, default=5)
+    p.add_argument("--visevery", type=int, default=100)
+    p.add_argument("--rewidx", type=int, default=1)
+    p.add_argument("--gammas", type=str, default="0.98-0.97-0.96-0.95")
+    p.add_argument("--testsize", type=int, default=5000)
+    p.add_argument("--datasize", type=int, default=100000)
+    p.add_argument("--name", type=str, default="default-model")
+    p.add_argument("--model", type=str, default="default-model")
+    p.add_argument("--runs", type=int, default=1)
+    p.add_argument("--source-imgs", type=str, default="")
+    p.add_argument("--mask-output-imgs", type=str, default="results")
+    p.add_argument("--output-video", type=str, default="")
+    p.add_argument("--binarymaskthreshold", type=float, default=0.5)
+
+    # framework extensions (new flags; safe defaults)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-parallel", type=int, default=0)
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("-synthetic_data", action="store_true")
+    return p
+
+
+def parse_args(argv: Optional[list] = None) -> Config:
+    ns = build_arg_parser().parse_args(
+        argv if argv is not None else sys.argv[1:])
+    cfg = Config()
+    used_dead = []
+    for f in dataclasses.fields(Config):
+        if hasattr(ns, f.name):
+            val = getattr(ns, f.name)
+            if f.name in DEAD_FLAGS and val != getattr(cfg, f.name):
+                used_dead.append(f.name)
+            setattr(cfg, f.name, val)
+    cfg.use_pallas = not ns.no_pallas
+    if used_dead:
+        print(f"[cgs-tpu] note: flags accepted for CLI compatibility but "
+              f"unused (as in the reference): {used_dead}")
+    return cfg.derive()

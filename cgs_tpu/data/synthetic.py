@@ -1,0 +1,116 @@
+"""Synthetic reward-segmentation fixture.
+
+The reference trains on the 60 GB MineRL Treechop imitation dataset
+(main.py:1287-1290), which is neither shippable nor downloadable here.
+This module generates a procedurally equivalent task so the full
+two-phase pipeline runs end-to-end in seconds and IoU has a known
+oracle (SURVEY.md §4 item 3):
+
+  * 64x64 RGB frames: textured green/brown noise background;
+  * the "rewarding object" is a vertical red-brown trunk whose width
+    grows as the agent approaches; reward fires when the trunk is
+    chopped (trunk present for a few frames, then disappears with
+    reward=1 on the final contact frame);
+  * ground-truth masks are the trunk footprint — training never sees
+    them (the invariant of the reference, SURVEY.md §3.5).
+
+Same (X, Y, I) contract as the MineRL collector: X uint8 (N,64,64,3),
+Y float32 (7,N) with row 0 = binary reward and rows 1-4 discounted at
+gammas, I uint16 frame-in-episode indices.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from cgs_tpu.ops.discount import build_label_matrix
+
+
+def _trunk_mask(width: int, center: int, trunk_w: int) -> np.ndarray:
+    m = np.zeros((width, width), bool)
+    lo = max(0, center - trunk_w // 2)
+    hi = min(width, center + (trunk_w + 1) // 2)
+    m[8:, lo:hi] = True  # trunk spans most of the frame height
+    return m
+
+
+def _render(rng: np.random.Generator, mask: np.ndarray) -> np.ndarray:
+    w = mask.shape[0]
+    frame = np.empty((w, w, 3), np.uint8)
+    # grass/sky-ish noisy background
+    base = rng.integers(40, 90, (w, w, 3))
+    base[..., 1] += 60  # green tint
+    frame[:] = np.clip(base + rng.integers(-15, 15, (w, w, 3)), 0, 255)
+    # trunk: red-brown, distinct texture
+    trunk = np.zeros((w, w, 3), np.int64)
+    trunk[..., 0] = rng.integers(120, 170, (w, w))
+    trunk[..., 1] = rng.integers(40, 70, (w, w))
+    trunk[..., 2] = rng.integers(20, 40, (w, w))
+    frame[mask] = np.clip(trunk[mask], 0, 255).astype(np.uint8)
+    return frame
+
+
+def synthetic_episode(rng: np.random.Generator, length: int = 120,
+                      width: int = 64):
+    """One episode: wander (no trunk) -> approach (growing trunk) ->
+    chop (reward) -> wander. Returns (frames, rewards, gt_masks)."""
+    frames = np.empty((length, width, width, 3), np.uint8)
+    rewards = np.zeros(length, np.float32)
+    masks = np.zeros((length, width, width), bool)
+    t = 0
+    while t < length:
+        wander = int(rng.integers(10, 25))
+        for _ in range(min(wander, length - t)):
+            frames[t] = _render(rng, np.zeros((width, width), bool))
+            t += 1
+        if t >= length:
+            break
+        approach = int(rng.integers(8, 16))
+        center = int(rng.integers(16, width - 16))
+        for i in range(min(approach, length - t)):
+            trunk_w = 3 + int(10 * i / approach)
+            m = _trunk_mask(width, center, trunk_w)
+            frames[t] = _render(rng, m)
+            masks[t] = m
+            rewards[t] = 1.0 if i == min(approach, length - t) - 1 else 0.0
+            t += 1
+    return frames, rewards, masks
+
+
+def synthetic_dataset(n_frames: int = 4000, seed: int = 0,
+                      width: int = 64) -> Tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
+    """(X, Y, I) in the collect_data contract (main.py:1295-1297)."""
+    rng = np.random.default_rng(seed)
+    X = np.zeros((n_frames, width, width, 3), np.uint8)
+    Y = np.zeros((7, n_frames), np.float32)
+    I = np.zeros(n_frames, np.uint16)
+    t = 0
+    while t < n_frames:
+        frames, rewards, _ = synthetic_episode(rng, width=width)
+        add = min(len(frames), n_frames - t)
+        X[t:t + add] = frames[:add]
+        Y[:, t:t + add] = np.asarray(
+            build_label_matrix(rewards[:add]))
+        I[t:t + add] = np.arange(add)
+        t += add
+    return X, Y, I
+
+
+def synthetic_eval_set(n_frames: int = 600, seed: int = 99,
+                       width: int = 64):
+    """Held-out labeled frames mirroring the red-trees eval contract
+    (main.py:920-928): X uint8 (N,w,w,3), gt bool (N,w,w)."""
+    rng = np.random.default_rng(seed)
+    X = np.zeros((n_frames, width, width, 3), np.uint8)
+    gt = np.zeros((n_frames, width, width), bool)
+    t = 0
+    while t < n_frames:
+        frames, _, masks = synthetic_episode(rng, width=width)
+        add = min(len(frames), n_frames - t)
+        X[t:t + add] = frames[:add]
+        gt[t:t + add] = masks[:add]
+        t += add
+    return X, gt

@@ -1,0 +1,28 @@
+"""Intersection-over-union (reference main.py:1265-1270).
+
+Device-side: we expose `iou_counts` returning (intersection, union)
+partial sums so multi-chip eval reduces IoU with a single psum of two
+scalars instead of gathering masks to host (SURVEY.md §5 "Distributed
+communication backend").
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def iou_counts(a: Array, b: Array):
+    """Partial sums for IoU. a, b: boolean (or {0,1}) arrays."""
+    a = a.astype(jnp.bool_)
+    b = b.astype(jnp.bool_)
+    inter = jnp.sum(a & b)
+    union = jnp.sum(a | b)
+    return inter, union
+
+
+def iou(a: Array, b: Array) -> float:
+    """IoU rounded to 3 decimals, parity with main.py:1265-1270."""
+    inter, union = iou_counts(a, b)
+    return round(float(inter) / float(union), 3)

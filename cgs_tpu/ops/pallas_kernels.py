@@ -1,0 +1,164 @@
+"""Pallas TPU kernels for the hot memory-bound paths.
+
+The models here are tiny (~100k params) so the FLOP path is not the
+bottleneck — HBM traffic on the 64x64 frame streams is. These kernels
+fuse the passes XLA cannot see across op boundaries in the host-driven
+inference pipeline:
+
+  * `normalize_u8`   — uint8 frame ingest -> f32/255 in one pass
+                       (reference does `.float() / 255.0` on host-fed
+                       tensors, main.py:189,360-361);
+  * `merge_pair`     — BOTH counterfactual merges (replace + inject,
+                       main.py:395,406) in a single read of A, B, Z:
+                       2 outputs for 3 inputs instead of 2x(3 in/1 out);
+  * `threshold_iou`  — mask thresholding (main.py:964) fused with the
+                       IoU partial-sum reduction (main.py:1267-1268),
+                       so hard masks never round-trip to HBM.
+
+Every kernel has an interpret-mode fallback so the same code paths run
+in the CPU test mesh. Frames are handled flattened to (N, F) with F a
+multiple of 128 lanes (64*64*3 = 12288 = 96 lanes x 128; 64*64 = 4096).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------
+# uint8 -> f32/255 ingest
+# ---------------------------------------------------------------------
+
+def _normalize_kernel(u8_ref, out_ref):
+    out_ref[:] = u8_ref[:].astype(jnp.float32) * (1.0 / 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def normalize_u8(x_u8: Array, block_n: int = 128) -> Array:
+    """uint8 (N, F) -> float32 (N, F) / 255. F must be a multiple of 128."""
+    n, f = x_u8.shape
+    assert f % 128 == 0, f"lane dim {f} must be a multiple of 128"
+    block_n = min(block_n, n)
+    grid = (_cdiv(n, block_n),)
+    return pl.pallas_call(
+        _normalize_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, f), jnp.float32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((block_n, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_n, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x_u8)
+
+
+# ---------------------------------------------------------------------
+# fused replace+inject merge
+# ---------------------------------------------------------------------
+
+def _merge_kernel(a_ref, b_ref, z_ref, rep_ref, inj_ref):
+    a = a_ref[:]
+    b = b_ref[:]
+    z = z_ref[:]
+    keep = 1.0 - z
+    rep_ref[:] = a * keep + z * b   # main.py:395
+    inj_ref[:] = b * keep + z * a   # main.py:406
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def merge_pair(a: Array, b: Array, z: Array, block_n: int = 64):
+    """(replaced, injected) from flattened frames.
+
+    a, b: (N, F) float32; z: (N, F) float32 (mask pre-broadcast over
+    RGB — callers use `broadcast_mask`). One read of each input for
+    both outputs.
+    """
+    n, f = a.shape
+    assert f % 128 == 0
+    block_n = min(block_n, n)
+    grid = (_cdiv(n, block_n),)
+    spec = pl.BlockSpec((block_n, f), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _merge_kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, f), jnp.float32),
+                   jax.ShapeDtypeStruct((n, f), jnp.float32)),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec),
+        interpret=_interpret(),
+    )(a, b, z)
+
+
+def broadcast_mask(z: Array, channels: int = 3) -> Array:
+    """(B, H, W, 1) mask -> flattened (B, H*W*channels) matching an
+    NHWC frame flatten."""
+    b = z.shape[0]
+    z3 = jnp.broadcast_to(z, z.shape[:3] + (channels,))
+    return z3.reshape(b, -1)
+
+
+# ---------------------------------------------------------------------
+# fused threshold + IoU partial sums
+# ---------------------------------------------------------------------
+
+def _thresh_iou_kernel(m_ref, gt_ref, thresh_ref, inter_ref, union_ref):
+    i = pl.program_id(0)
+    hard = m_ref[:] > thresh_ref[0]
+    gt = gt_ref[:] > 0
+    inter = jnp.sum(jnp.logical_and(hard, gt).astype(jnp.int32))
+    union = jnp.sum(jnp.logical_or(hard, gt).astype(jnp.int32))
+
+    @pl.when(i == 0)
+    def _():
+        inter_ref[0, 0] = inter
+        union_ref[0, 0] = union
+
+    @pl.when(i != 0)
+    def _():
+        inter_ref[0, 0] = inter_ref[0, 0] + inter
+        union_ref[0, 0] = union_ref[0, 0] + union
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def threshold_iou(masks: Array, gt: Array, thresh: float,
+                  block_n: int = 256):
+    """IoU of (masks > thresh) vs gt without materializing hard masks.
+
+    masks: (N, F) float32; gt: (N, F) bool/uint8. Returns (inter, union)
+    int32 scalars. Fuses main.py:964 + main.py:1267-1268.
+    """
+    n, f = masks.shape
+    assert f % 128 == 0
+    block_n = min(block_n, n)
+    grid = (_cdiv(n, block_n),)
+    spec = pl.BlockSpec((block_n, f), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    thresh_arr = jnp.asarray([thresh], jnp.float32)
+    inter, union = pl.pallas_call(
+        _thresh_iou_kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        grid=grid,
+        in_specs=[spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=_interpret(),
+    )(masks, gt.astype(jnp.uint8), thresh_arr)
+    return inter[0, 0], union[0, 0]

@@ -1,0 +1,62 @@
+"""Device mesh and sharding layout.
+
+The reference is strictly single-device (SURVEY.md §2.5: CPU-pinned
+torch 1.4, `main.py:71`). The TPU build introduces first-class data
+parallelism — the one strategy this workload needs (models are ~100k
+params on 64x64 frames) — while keeping the mesh 2-D ('data', 'model')
+so tensor-parallel sharding annotations have a home if a larger model
+family lands later. Only 'data' is populated today; 'model' is size 1
+and documented as an explicit non-goal (SURVEY.md §7.4).
+
+Mechanics: batches are sharded over 'data' via NamedSharding; params
+are replicated; `jax.jit` over the mesh lets XLA insert the gradient
+all-reduce (psum over ICI). No NCCL-style explicit collectives are
+needed — that is the point of the design.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = 0, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. n_data=0 means all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data <= 0:
+        n_data = max(1, len(devices) // n_model)
+    use = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(use, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (or pytree of arrays) sharded over 'data'."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def local_mesh_or_none(cfg) -> Optional[Mesh]:
+    """Mesh for the current process given a Config; None for 1 device
+    (plain jit is already optimal there)."""
+    ndev = len(jax.devices())
+    n_data = cfg.data_parallel if cfg.data_parallel > 0 else ndev
+    if n_data <= 1:
+        return None
+    return make_mesh(n_data=n_data)

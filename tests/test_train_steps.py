@@ -1,0 +1,157 @@
+"""Grad-flow and semantics tests for the jitted train steps
+(SURVEY.md §7.3 — the three-forward masker step is easy to get subtly
+wrong)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgs_tpu.core.config import Config
+from cgs_tpu.models.critic import Critic
+from cgs_tpu.models.decoder import UnetDecoder
+from cgs_tpu.train.steps import (
+    init_train_state, make_critic_step, make_masker_step, make_optimizer,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def build(cfg):
+    critic = Critic(dropout=cfg.dropout)
+    masker = UnetDecoder()
+    x = jnp.zeros((2, 64, 64, 3))
+    cparams = critic.init({"params": KEY}, x, collect=True)["params"]
+    _, embeds = critic.apply({"params": cparams}, x, collect=True)
+    mparams = masker.init({"params": KEY}, x, embeds)["params"]
+    params = {"critic": cparams, "masker": mparams}
+    if cfg.separate:
+        params["sepcrit"] = critic.init(
+            {"params": jax.random.PRNGKey(7)}, x, collect=True)["params"]
+    return critic, masker, params
+
+
+def batch(rng, n=8):
+    a = rng.integers(0, 256, (n, 64, 64, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (n, 64, 64, 3), dtype=np.uint8)
+    y = rng.random(n).astype(np.float32)
+    return jnp.asarray(a), jnp.asarray(y), jnp.asarray(b)
+
+
+def snapshot(tree):
+    return jax.tree.map(lambda x: np.array(x), tree)
+
+
+def tree_equal(a, b):
+    return all(jax.tree.leaves(jax.tree.map(
+        lambda x, y: bool(np.array_equal(np.asarray(x), np.asarray(y))),
+        a, b)))
+
+
+def test_critic_step_reduces_loss(rng):
+    cfg = Config(shift=0, dropout=0.0)
+    critic, _, params = build(cfg)
+    tx = make_optimizer()
+    state = init_train_state({"critic": params["critic"]}, tx)
+    step = make_critic_step(cfg, critic, tx)
+    a, _, _ = batch(rng, 16)
+    # learnable target: mean brightness of the frame
+    y = jnp.mean(a.astype(jnp.float32) / 255.0, axis=(1, 2, 3))
+    losses = []
+    for i in range(150):
+        state, loss = step(state, a, y, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+
+
+@pytest.mark.parametrize("live", [True, False])
+def test_masker_step_gradient_routing(rng, live):
+    """live: critic params move; frozen: critic params must be
+    untouched (main.py:330-334)."""
+    cfg = Config(shift=0, dropout=0.0, frozen=not live).derive()
+    critic, masker, params = build(cfg)
+    tx = make_optimizer()
+    trained = ["masker"] + (["critic"] if live else [])
+    state = init_train_state(params, tx, trained_keys=trained)
+    step = make_masker_step(cfg, critic, masker, tx)
+    a, y, b = batch(rng)
+    before = snapshot(params)
+    new_state, metrics = step(state, a, y, b, KEY)
+    assert not tree_equal(new_state.params["masker"], before["masker"])
+    critic_moved = not tree_equal(new_state.params["critic"],
+                                  before["critic"])
+    assert critic_moved == live
+    for k in ("replace", "inject", "norm", "loss"):
+        assert np.isfinite(float(metrics[k]))
+
+
+def test_masker_step_noinject(rng):
+    cfg = Config(shift=0, dropout=0.0, noinject=True).derive()
+    critic, masker, params = build(cfg)
+    tx = make_optimizer()
+    state = init_train_state(params, tx, ["masker", "critic"])
+    step = make_masker_step(cfg, critic, masker, tx)
+    a, y, b = batch(rng)
+    _, metrics = step(state, a, y, b, KEY)
+    assert float(metrics["inject"]) == 0.0
+
+
+def test_masker_step_separate_critic(rng):
+    """-separate: masker consumes sepcrit embeds; sepcrit trains too
+    (main.py:327-334,389-390)."""
+    cfg = Config(shift=0, dropout=0.0, separate=True).derive()
+    critic, masker, params = build(cfg)
+    tx = make_optimizer()
+    state = init_train_state(params, tx, ["masker", "critic", "sepcrit"])
+    step = make_masker_step(cfg, critic, masker, tx)
+    a, y, b = batch(rng)
+    before = snapshot(params)
+    new_state, _ = step(state, a, y, b, KEY)
+    assert not tree_equal(new_state.params["sepcrit"], before["sepcrit"])
+
+
+def test_stop_gradients_block_targets(rng):
+    """The targets (negpred, detached pred) must carry no gradient:
+    with lfak=0 + frozen + no sparsity, the loss must not move the
+    critic even though critic outputs feed every loss term."""
+    cfg = Config(shift=0, dropout=0.0, frozen=True, L1=0.0).derive()
+    assert not cfg.live
+    critic, masker, params = build(cfg)
+    tx = make_optimizer()
+    state = init_train_state(params, tx, ["masker"])
+    step = make_masker_step(cfg, critic, masker, tx)
+    a, y, b = batch(rng)
+    before = snapshot(params)
+    new_state, metrics = step(state, a, y, b, KEY)
+    assert tree_equal(new_state.params["critic"], before["critic"])
+    assert float(metrics["norm"]) == 0.0
+
+
+def test_masker_nonstatic_norm(rng):
+    cfg = Config(shift=0, dropout=0.0).derive()
+    cfg2 = dataclasses.replace(cfg, staticnorm=False)
+    critic, masker, params = build(cfg)
+    tx = make_optimizer()
+    a, y, b = batch(rng)
+    outs = []
+    for c in (cfg, cfg2):
+        state = init_train_state(snapshot(params), tx,
+                                 ["masker", "critic"])
+        _, metrics = make_masker_step(c, critic, masker, tx)(
+            state, a, y, b, KEY)
+        outs.append(float(metrics["norm"]))
+    # staticnorm weights every pixel by 1; value-norm weights by
+    # (1 - pred) < 1, so it must be strictly smaller for the same Z
+    assert outs[1] < outs[0]
+
+
+def test_l2_sparsity_branch(rng):
+    cfg = Config(shift=0, dropout=0.0, L1=0.0, L2=0.5).derive()
+    critic, masker, params = build(cfg)
+    tx = make_optimizer()
+    state = init_train_state(params, tx, ["masker", "critic"])
+    _, metrics = make_masker_step(cfg, critic, masker, tx)(
+        state, *batch(rng), KEY)
+    assert float(metrics["norm"]) > 0.0
