@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline benchmark: `-process` mask-inference throughput
+(64x64 frames/s/chip) on the flagship critic+masker pipeline.
+
+Methodology: frames device-resident (on real deployments H2D of 12KB
+frames is negligible; this harness's TPU tunnel caps host transfers at
+~22 MB/s, which would measure the tunnel, not the chip), N timed
+dispatches of a fixed large batch, synced by a scalar checksum
+readback. Baseline = the BASELINE.json north-star of 100k frames/s
+(the reference publishes no throughput at all — its pipeline is
+single-device CPU torch, reference main.py:71, requirements.txt:79).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from cgs_tpu import Critic, UnetDecoder
+    from cgs_tpu.pipeline import MaskPipeline
+
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((8, 64, 64, 3))
+    critic, masker = Critic(), UnetDecoder()
+    cp = critic.init({"params": key}, x0, collect=True)["params"]
+    _, em = critic.apply({"params": cp}, x0, collect=True)
+    mp = masker.init({"params": key}, x0, em)["params"]
+
+    batch = 32768 if jax.default_backend() == "tpu" else 256
+    pipe = MaskPipeline(critic, masker,
+                        {"critic": cp, "masker": mp},
+                        batch_size=batch, with_checksum=True)
+
+    frames = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (batch, 64, 64, 3), dtype=np.uint8))
+
+    # compile + warmup
+    *_, ck = pipe.run_device(frames)
+    float(ck)
+
+    n_iter = 8
+    t0 = time.time()
+    cks = []
+    for _ in range(n_iter):
+        *_, ck = pipe.run_device(frames)
+        cks.append(ck)
+    float(sum(cks))  # host readback = hard sync
+    dt = (time.time() - t0) / n_iter
+    fps = batch / dt
+
+    print(json.dumps({
+        "metric": "process_inference_throughput",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip (64x64 RGB, critic+masker)",
+        "vs_baseline": round(fps / 100000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
