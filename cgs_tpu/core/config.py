@@ -129,6 +129,7 @@ class Config:
     infer_batch: int = 128       # eval/process batch (main.py:910,1119)
     bf16: bool = False           # bfloat16 compute for the conv stack
     synthetic_data: bool = False  # use the synthetic fixture dataset
+    contrastive_min: int = 500   # min pos/neg frames (main.py:281)
 
     def derive(self) -> "Config":
         """Reproduce the reference's post-parse derivations
@@ -235,6 +236,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("-synthetic_data", action="store_true")
+    p.add_argument("--contrastive-min", type=int, default=500)
     return p
 
 

@@ -1,0 +1,187 @@
+"""IoU evaluation harness (reference main.py:891-1101).
+
+Pipeline: load the labeled `red-trees` eval set (or the synthetic
+fixture), slice `[100:5000:2]` (main.py:927-928), run the fused
+inference pipeline (critic+masker+saliency in one XLA program per
+batch), threshold at --eval-thresh, optionally CRF-refine, normalize
+the saliency baseline, and report IoUs for every variant
+(main.py:1005-1015). Optionally renders the titled/legended TP-FN-FP
+comparison video when the IoU is a new best (main.py:1027-1087).
+
+Training never sees these labels — they enter only here
+(SURVEY.md §3.5 invariant).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from cgs_tpu.ops.iou import iou
+from cgs_tpu.ops.saliency import (
+    normalize_saliency_global, normalize_saliency_topk,
+)
+
+
+def load_eval_set(cfg, evaldatapath: str = "red-trees/"):
+    """X float (N,64,64,3) in [0,1], gt bool (N,64,64).
+
+    Real data: `red-trees/X.npy` + `Y.npy`, GT binarized via
+    np.all over the last axis (main.py:920-925). Falls back to the
+    synthetic fixture when the npy files are absent (they are stripped
+    from this mirror) or when -synthetic_data is set."""
+    xp = os.path.join(evaldatapath, "X.npy")
+    yp = os.path.join(evaldatapath, "Y.npy")
+    if not cfg.synthetic_data and os.path.exists(xp) and os.path.exists(yp):
+        x = np.load(xp) / 255.0
+        gt = np.all(np.load(yp), axis=-1)
+    else:
+        from cgs_tpu.data.synthetic import synthetic_eval_set
+        xu8, gt = synthetic_eval_set(n_frames=5000, seed=cfg.seed + 99)
+        x = xu8 / 255.0
+    x = x[100:5000:2]           # main.py:927
+    gt = gt[100:5000:2]
+    return x.astype(np.float32), gt.astype(bool)
+
+
+def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
+             crf_fn=None, best_iou: float = 0.0,
+             out_dir: str = "eval-results") -> Dict:
+    """Returns {'ious': [...], 'masks': ..., 'preds': ...} mirroring
+    the reference's eval() variant order: [mask, (crf), (saliency),
+    (saliency+crf)] (main.py:1005-1015)."""
+    out = pipeline.run((x * 255).astype(np.uint8))
+    preds, masks, sal = out.preds, out.masks, out.saliency
+
+    hard = (masks > cfg.eval_thresh).squeeze(-1)          # main.py:964
+    ious = [iou(hard, gt)]
+    variants = {"mask": masks.squeeze(-1), "hard": hard}
+
+    crf_hard = None
+    if cfg.crf and crf_fn is not None:                    # main.py:969
+        crf_hard = crf_fn((x * 255).astype(np.uint8),
+                          masks.squeeze(-1))
+        ious.append(iou(crf_hard, gt))
+        variants["crf"] = crf_hard
+
+    sal_soft = sal_hard = sal_crf = None
+    if cfg.salience and sal is not None:                  # main.py:976
+        norm_fn = normalize_saliency_global if cfg.salglobal \
+            else normalize_saliency_topk
+        sal_soft, sal_hard = (np.asarray(v) for v in norm_fn(
+            sal, preds, cfg.salience_thresh))
+        sal_hard = sal_hard.squeeze(-1).astype(bool)
+        ious.append(iou(sal_hard, gt))
+        variants["sal"] = sal_soft.squeeze(-1)
+        variants["sal_hard"] = sal_hard
+        if cfg.crf and crf_fn is not None:
+            sal_crf = crf_fn((x * 255).astype(np.uint8),
+                             sal_soft.squeeze(-1))
+            ious.append(iou(sal_crf, gt))
+            variants["sal_crf"] = sal_crf
+
+    result = {"ious": ious, "preds": preds, "variants": variants}
+
+    if ious[0] > best_iou and cfg.visbesteval:            # main.py:1027
+        os.makedirs(out_dir, exist_ok=True)
+        video_path = os.path.join(
+            cfg.output_video or out_dir, f"iou={ious[0]}.mp4")
+        render_eval_video(video_path, x, gt, variants, ious)
+        result["video"] = video_path
+    return result
+
+
+def _color_code(gt: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """TP=green, FN=red, FP=gray, TN=black (main.py:1051,1073-1075)."""
+    g = gt.astype(np.float32)
+    b = m.astype(np.float32)
+    tp = g * b
+    fn = g * (1 - b)
+    fp = (1 - g) * b
+    r = fn + 0.5 * fp
+    gch = tp + 0.5 * fp
+    bch = 0.5 * fp
+    return np.stack([r, gch, bch], axis=-1)
+
+
+def render_eval_video(path: str, x: np.ndarray, gt: np.ndarray,
+                      variants: Dict[str, np.ndarray], ious,
+                      framerate: int = 10,
+                      max_frames: Optional[int] = 600) -> None:
+    """Two-row comparison video: top = [RGB | gt | variants...],
+    bottom = TP/FN/FP color coding per variant, with a title banner
+    and legend (layout of main.py:1027-1087; titles carry the
+    *measured* IoUs instead of the reference's hard-coded ones)."""
+    from PIL import Image, ImageDraw
+
+    from cgs_tpu.utils.artifacts import load_font
+    from cgs_tpu.utils.video import vidwrite
+
+    order = [("RGB\nimage", None), ("ground\ntruth", gt)]
+    iou_iter = iter(ious)
+    labels = {"hard": "thresholded\nmask", "crf": "mask\nCRF",
+              "sal_hard": "thresholded\nsaliency",
+              "sal_crf": "salience\nCRF"}
+    order.append(("mask", variants["mask"]))
+    next_iou = next(iou_iter)
+    order.append((f"thresholded\nmask\nIoU={next_iou}",
+                  variants["hard"]))
+    for key in ("crf", "sal", "sal_hard", "sal_crf"):
+        if key in variants:
+            lab = labels.get(key, "saliency\nmap")
+            if key in ("crf", "sal_hard", "sal_crf"):
+                lab += f"\nIoU={next(iou_iter)}"
+            order.append((lab, variants[key]))
+
+    n = len(x) if max_frames is None else min(len(x), max_frames)
+    scale = 3
+    fosi = 30
+    font = load_font(size=fosi * 2 // 3)
+
+    cols_top, cols_bot, titles = [], [], []
+    for title, m in order:
+        titles.append(title)
+        if m is None:
+            cols_top.append(x[:n])
+            cols_bot.append(x[:n])
+            continue
+        mm = m[:n].astype(np.float32)
+        cols_top.append(np.repeat(mm[..., None], 3, axis=-1))
+        if m.dtype == bool or set(np.unique(m[:n])) <= {0, 1}:
+            cols_bot.append(_color_code(gt[:n], mm))
+        else:
+            cols_bot.append(0.1 * np.ones_like(cols_top[-1]))
+
+    top = np.concatenate(cols_top, axis=2)
+    bot = np.concatenate(cols_bot, axis=2)
+    frames = np.concatenate([top, bot], axis=1)
+    frames = (255 * np.clip(frames, 0, 1)).astype(np.uint8)
+    frames = frames.repeat(scale, axis=1).repeat(scale, axis=2)
+
+    # title banner + legend rows
+    width = frames.shape[2]
+    banner = Image.new("RGB", (width, fosi * 4))
+    draw = ImageDraw.Draw(banner)
+    for i, t in enumerate(titles):
+        draw.text((fosi // 5 + 64 * scale * i, fosi // 5), t, font=font)
+    banner = np.asarray(banner)
+
+    legend_text = [("GREEN = True Positive", (0, 255, 0)),
+                   ("RED = False Negative", (255, 0, 0)),
+                   ("GRAY = False Positive", (125, 125, 125)),
+                   ("BLACK = True Negative", (255, 255, 255))]
+    legend = Image.new("RGB", (width, fosi * 2))
+    draw = ImageDraw.Draw(legend)
+    spacing = max(1, (width - 2) // len(legend_text))
+    for i, (text, color) in enumerate(legend_text):
+        draw.text((fosi // 5 + i * spacing, fosi // 5), text,
+                  font=font, fill=color)
+    legend = np.asarray(legend)
+
+    full = np.concatenate(
+        [np.tile(banner[None], (n, 1, 1, 1)), frames,
+         np.tile(legend[None], (n, 1, 1, 1))], axis=1)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    vidwrite(path, full, framerate=framerate)

@@ -1,0 +1,358 @@
+"""Orchestrator (rebuild of the reference `Handler`, main.py:66-1270).
+
+Owns models/params, run-directory layout, checkpoint fingerprints, and
+the phase drivers:
+
+    load_data -> critic_pipe -> segmentation_training -> eval /
+    segment / visualize
+
+Run layout parity (main.py:93-102): `{name}/saves/critic-<args>.pt`,
+`{name}/saves/masker-<args>.pt`, results under `{name}/critic/` and
+`{name}/segment/`, eval artifacts under `eval-results/{name}/`.
+
+TPU execution model: datasets are device-resident; each `visevery`
+window of optimizer steps is ONE compiled scan program
+(cgs_tpu/train/loops.py); host work is only index generation, PNG/video
+artifacts, and checkpoint IO.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgs_tpu.core.config import Config
+from cgs_tpu.data.collect import collect_data
+from cgs_tpu.data.loader import DataBundle, EpochLoader
+from cgs_tpu.eval.harness import evaluate, load_eval_set
+from cgs_tpu.eval.segment import segment_folder
+from cgs_tpu.models.critic import Critic
+from cgs_tpu.models.decoder import UnetDecoder
+from cgs_tpu.parallel.mesh import local_mesh_or_none
+from cgs_tpu.pipeline import MaskPipeline
+from cgs_tpu.train.checkpoints import load_model_pt, save_model_pt
+from cgs_tpu.train.contrastive import (
+    extract_contrastive_sets, sample_index_stacks,
+)
+from cgs_tpu.train.loops import (
+    make_critic_chunk, make_critic_viz_fn, make_masker_chunk,
+    make_masker_viz_fn,
+)
+from cgs_tpu.train.steps import (
+    init_train_state, make_optimizer, trained_param_keys,
+)
+from cgs_tpu.utils.artifacts import (
+    annotate_strip, save_histogram, save_loss_plot,
+)
+from cgs_tpu.utils.metrics import MetricsWriter, write_log_header
+
+CRITIC = "critic"
+MASKER = "masker"
+SEPCRIT = "sepcrit"
+
+
+class Handler:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.mesh = local_mesh_or_none(cfg)
+        self.ious = (0.0, 0.0)      # best-so-far tracker (main.py:77)
+        self.bestepoch = 0
+
+        # models + params
+        self.critic = Critic(bottleneck=cfg.neck, chfak=cfg.chfak,
+                             dropout=cfg.dropout)
+        self.masker = UnetDecoder(bottleneck=cfg.neck, chfak=cfg.chfak)
+        self.reset_models()
+
+        # run layout (main.py:93-102)
+        self.path = f"{cfg.name}/"
+        self.save_path = self.path + "saves/"
+        self.save_paths = {
+            CRITIC: f"{self.save_path}critic-"
+                    f"{cfg.critic_fingerprint()}.pt",
+            MASKER: f"{self.save_path}masker-"
+                    f"{cfg.masker_fingerprint()}.pt",
+            SEPCRIT: f"{self.save_path}sepcrit-"
+                     f"{cfg.critic_fingerprint()}.pt",
+        }
+        self.metrics = MetricsWriter(self.path)
+        self.data: Optional[DataBundle] = None
+        self.contrastive = None
+
+    # -- model/param management ------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def reset_models(self) -> None:
+        """Fresh params (main.py:106-111)."""
+        x0 = jnp.zeros((2, 64, 64, 3))
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(self.cfg.seed),
+                                      3)
+        cparams = self.critic.init({"params": k1}, x0,
+                                   collect=True)["params"]
+        _, embeds = self.critic.apply({"params": cparams}, x0,
+                                      collect=True)
+        mparams = self.masker.init({"params": k2}, x0,
+                                   embeds)["params"]
+        self.params: Dict = {CRITIC: cparams, MASKER: mparams}
+        if self.cfg.separate:
+            self.params[SEPCRIT] = self.critic.init(
+                {"params": k3}, x0, collect=True)["params"]
+
+    def load_models(self, modelnames: Optional[List[str]] = None) -> bool:
+        """.pt checkpoint load; False if any file is missing
+        (main.py:136-147)."""
+        modelnames = modelnames or list(self.params.keys())
+        for name in modelnames:
+            loaded = load_model_pt(name, self.save_paths[name])
+            if loaded is None:
+                if not self.cfg.train:
+                    print(f"{self.save_paths[name]} not found")
+                return False
+            print("loading:", self.save_paths[name])
+            self.params[name] = loaded
+        return True
+
+    def save_models(self, modelnames: Optional[List[str]] = None) -> None:
+        modelnames = modelnames or list(self.params.keys())
+        for name in modelnames:
+            print("saving:", self.save_paths[name])
+            save_model_pt(jax.tree.map(np.asarray, self.params[name]),
+                          name, self.save_paths[name])
+
+    # -- data --------------------------------------------------------
+
+    def load_data(self) -> None:
+        """collect -> split -> device (main.py:113-134)."""
+        x, y, i = collect_data(self.cfg)
+        self.data = DataBundle.from_arrays(x, y, i, self.cfg)
+        self.data.to_device(self.cfg)
+        print("dataset shapes", x.shape, y.shape,
+              self.data.x_train.shape, self.data.y_train.shape)
+
+    # -- phase 1: critic ----------------------------------------------
+
+    def critic_pipe(self, mode: str = "train") -> None:
+        """Critic training (main.py:158-236)."""
+        cfg = self.cfg
+        if cfg.cload and self.load_models([CRITIC]):
+            print("loaded critic, no new training")
+            return
+
+        result_path = self.path + "critic/"
+        os.makedirs(result_path, exist_ok=True)
+        write_log_header(result_path, cfg)
+
+        tx = make_optimizer()
+        state = init_train_state({CRITIC: self.params[CRITIC]}, tx)
+        chunk_fn = make_critic_chunk(cfg, self.critic, tx)
+        viz_fn = make_critic_viz_fn(cfg, self.critic)
+        loader = EpochLoader(self.data.n_train, cfg.batch_size,
+                             self.rng)
+        x_dev, y_dev = self.data.x_train_dev, self.data.y_train_dev
+
+        llog: List[float] = []
+        t0 = time.time()
+        for epoch in range(cfg.cepochs):
+            b_idx = 0
+            for idx in loader.chunks(cfg.visevery):
+                state, losses = chunk_fn(state, x_dev, y_dev,
+                                         jnp.asarray(idx),
+                                         self._next_key())
+                losses = np.asarray(losses)
+                llog.extend(losses.tolist())
+                print(f"critic e{epoch + 1} b{b_idx} "
+                      f"{losses[-1]:.5f}", end="\r")
+                # annotated strip at the chunk boundary (main.py:204)
+                xb, yb, pred = viz_fn(state.params, x_dev, y_dev,
+                                      jnp.asarray(idx[0]),
+                                      self._next_key())
+                annotate_strip(
+                    [np.asarray(xb)],
+                    [np.asarray(yb).tolist(),
+                     np.asarray(pred).tolist()],
+                    result_path + f"e{epoch}_b{b_idx}.png",
+                    row_offset=33)
+                self.metrics.write("critic_loss", step=int(state.step),
+                                   loss=float(losses.mean()))
+                b_idx += len(idx)
+
+            if not (epoch + 1) % cfg.saveevery:   # main.py:228
+                self.params[CRITIC] = state.params[CRITIC]
+                self.save_models([CRITIC])
+            save_loss_plot(result_path + "_loss.png", llog,
+                           ["Train Loss"])
+        steps_total = len(llog)
+        dt = time.time() - t0
+        if steps_total:
+            self.metrics.write("critic_throughput",
+                               steps_per_sec=steps_total / dt,
+                               frames_per_sec=steps_total
+                               * cfg.batch_size / dt)
+        print()
+        self.params[CRITIC] = state.params[CRITIC]
+
+    # -- phase 2: masker ----------------------------------------------
+
+    def extract_contrastive_data(self):
+        """Sweep + split + histogram artifacts (main.py:238-312)."""
+        cfg = self.cfg
+        sets = extract_contrastive_sets(
+            cfg, self.critic, self.params[CRITIC],
+            self.data.x_train_dev,
+            self.data.y_train[cfg.rewidx].astype(np.float32),
+            self.rng, min_count=cfg.contrastive_min)
+        idx = cfg.rewidx
+        save_histogram(self.path + f"pred_idx{idx}_hist.png",
+                       sets.preds)
+        save_histogram(self.path + f"GT_idx{idx}_hist.png",
+                       self.data.y_train[idx])
+        # count marker file (main.py:274-276)
+        marker = (f"{int(sets.pos_mask.sum())}>{cfg.high_rew_thresh}__"
+                  f"{int(sets.neg_mask.sum())}<{cfg.low_rew_thresh}.txt")
+        with open(self.path + marker, "w") as fp:
+            fp.write("")
+        self.contrastive = sets
+        return sets
+
+    def segmentation_training(self) -> None:
+        """Masker training (main.py:314-575)."""
+        cfg = self.cfg
+        sets = self.extract_contrastive_data()
+        train_path = self.path + "segment/"
+        os.makedirs(train_path, exist_ok=True)
+        write_log_header(train_path, cfg)
+
+        tx = make_optimizer()
+        trained = trained_param_keys(cfg)
+        state = init_train_state(dict(self.params), tx, trained)
+        chunk_fn = make_masker_chunk(cfg, self.critic, self.masker, tx)
+        viz_fn = make_masker_viz_fn(cfg, self.critic, self.masker)
+
+        k = 32  # contrastive batch (main.py:309)
+        steps_per_epoch = -(-sets.n_pos // k)     # main.py:342
+        log_rows: List[np.ndarray] = []
+        t0 = time.time()
+        for epoch in range(cfg.mepochs):
+            done = 0
+            while done < steps_per_epoch:
+                s = min(cfg.visevery, steps_per_epoch - done)
+                h, l, c = sample_index_stacks(self.rng, sets.n_pos,
+                                              sets.n_neg, s, k)
+                state, losses = chunk_fn(
+                    state, sets.xpos, sets.ypos, sets.xneg, sets.yneg,
+                    jnp.asarray(h), jnp.asarray(l), jnp.asarray(c),
+                    self._next_key())
+                losses = np.asarray(losses)       # (s, 4)
+                log_rows.append(losses)
+                r, i, nm, cl = losses[-1]
+                print(f"masker e{epoch} b{done} replace {r:.5f} "
+                      f"inject {i:.5f} norm {nm:.5f} critic {cl:.5f}",
+                      end="\r")
+                # 7-row merge viz at the chunk boundary (main.py:466)
+                viz = viz_fn(state.params, sets.xpos, sets.ypos,
+                             sets.xneg, sets.yneg, jnp.asarray(h[0]),
+                             jnp.asarray(l[0]), jnp.asarray(c[0][:2 * k]),
+                             self._next_key())
+                viz = {kk: np.asarray(v) for kk, v in viz.items()}
+                annotate_strip(
+                    [np.zeros_like(viz["a"]), np.zeros_like(viz["a"]),
+                     viz["a"], viz["b"][:2 * k], viz["replaced"],
+                     viz["injected"],
+                     np.repeat(viz["z"], 3, axis=-1)],
+                    [viz["y"], viz["pred"], viz["negpred"],
+                     viz["replacevalue"]]
+                    + ([viz["injectvalue"]] if cfg.inject else []),
+                    train_path + f"e{epoch}_b{done}.png")
+                self.metrics.write(
+                    "masker_loss", step=int(state.step),
+                    replace=float(losses[:, 0].mean()),
+                    inject=float(losses[:, 1].mean()),
+                    norm=float(losses[:, 2].mean()),
+                    critic=float(losses[:, 3].mean()))
+                done += s
+
+            all_losses = np.concatenate(log_rows, axis=0)
+            save_loss_plot(train_path + "_loss.png", all_losses,
+                           ["replace", "inject", "norm", "live-critic"],
+                           ymin_zero=False)
+            if not (epoch + 1) % cfg.saveevery:   # main.py:565
+                for name in trained:
+                    self.params[name] = state.params[name]
+                self.save_models([MASKER])
+
+        total = sum(r.shape[0] for r in log_rows)
+        dt = time.time() - t0
+        if total:
+            self.metrics.write("masker_throughput",
+                               steps_per_sec=total / dt)
+        print()
+        for name in trained:
+            self.params[name] = state.params[name]
+        self.save_models([MASKER])
+
+    # -- eval / inference ---------------------------------------------
+
+    def _pipeline(self, salience: bool) -> MaskPipeline:
+        return MaskPipeline(
+            self.critic, self.masker, self.params,
+            batch_size=self.cfg.infer_batch,
+            salience=salience,
+            eval_mode=not self.cfg.noevalmode,   # main.py:900-909
+            separate=self.cfg.separate,
+            seed=self.cfg.seed)
+
+    def _crf_fn(self):
+        if not self.cfg.crf:
+            return None
+        try:
+            from cgs_tpu.eval.crf import DenseCRF
+            return DenseCRF()
+        except Exception as e:
+            print(f"[cgs-tpu] CRF unavailable ({e}); skipping "
+                  "refinement (the reference ships with its pydensecrf "
+                  "import commented out, main.py:8,23)")
+            return None
+
+    def eval(self, folder: str = "") -> List[float]:
+        """IoU eval (main.py:891-1101)."""
+        cfg = self.cfg
+        out_dir = f"eval-results/{cfg.name}/"
+        x, gt = load_eval_set(cfg)
+        pipe = self._pipeline(salience=cfg.salience)
+        result = evaluate(cfg, pipe, x, gt, crf_fn=self._crf_fn(),
+                          best_iou=self.ious[0], out_dir=out_dir)
+        ious = result["ious"]
+        if ious[0] > self.ious[0]:
+            self.ious = (ious[0], self.ious[1])
+        print("\nRESULTS", ious)
+        self.metrics.write("eval", iou=ious[0],
+                           all_ious=[float(v) for v in ious])
+        return ious
+
+    def segment(self, folder: str) -> Dict:
+        """-process (main.py:1103-1223)."""
+        pipe = self._pipeline(salience=self.cfg.process_salience)
+        return segment_folder(self.cfg, pipe, folder,
+                              crf_fn=self._crf_fn())
+
+    def visualize(self) -> List[str]:
+        """-viscritic/-vismasker curve videos (main.py:702-885)."""
+        from cgs_tpu.eval.visualize import visualize as vis
+        pipe = self._pipeline(salience=False)
+        return vis(self.cfg, pipe, self.data.x_test,
+                   self.data.y_test[self.cfg.rewidx], self.path)
+
+    def log(self, *args, key: str = "", **kwargs) -> None:
+        """Gated print (main.py:887-889)."""
+        if key in ("info",):
+            print(*args, **kwargs)

@@ -1,0 +1,193 @@
+"""Device-resident epoch training (lax.scan over steps).
+
+Why this exists: the models are tiny, so per-step dispatch dominates
+wall clock (on this harness's tunneled TPU a dispatch costs ~70 ms; a
+critic epoch is ~1560 steps, main.py:182-183). The whole dataset fits
+in HBM as uint8 (100k frames = 1.2 GB), so we:
+
+  * keep X/Y resident on device across the entire phase,
+  * upload only int32 batch-index arrays (a few hundred KB per epoch),
+  * run `visevery`-step chunks as ONE `lax.scan` program per chunk
+    (viz cadence = chunk boundary, matching main.py:204,466),
+  * gather batches on-device with `jnp.take`.
+
+Per-step math is identical to cgs_tpu/train/steps.py (shared loss
+builders); the viz tensors are recomputed at the chunk boundary from
+the current params — annotation values can differ in the last decimal
+from the reference's pre-update read, which is a documented viz-only
+deviation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cgs_tpu.ops.augment import shift_batch
+from cgs_tpu.train.losses import build_critic_loss, build_masker_loss, ingest
+from cgs_tpu.train.steps import TrainState, trained_param_keys
+
+Array = jnp.ndarray
+
+
+def make_critic_chunk(cfg, critic,
+                      tx: optax.GradientTransformation) -> Callable:
+    """Jitted: (state, x_all u8 (N,...), y_all (N,), idx (S,B) i32,
+    key) -> (state, losses (S,)). Runs S optimizer steps on device."""
+    loss_fn = build_critic_loss(cfg, critic)
+    use_shift = bool(cfg.shift)
+    max_shift = int(cfg.shift)
+
+    def chunk(state: TrainState, x_all, y_all, idx, key):
+        n_steps = idx.shape[0]
+        keys = jax.random.split(key, n_steps)
+
+        def body(st, inp):
+            bidx, k = inp
+            xb = jnp.take(x_all, bidx, axis=0)
+            yb = jnp.take(y_all, bidx, axis=0)
+            skey, dkey = jax.random.split(k)
+            if use_shift:
+                xb = shift_batch(skey, xb, max_shift)
+            x = ingest(xb)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                st.params["critic"], x, yb, dkey)
+            updates, opt_state = tx.update(
+                {"critic": grads}, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return TrainState(params=params, opt_state=opt_state,
+                              step=st.step + 1), loss
+
+        state, losses = jax.lax.scan(body, state, (idx, keys))
+        return state, losses
+
+    return jax.jit(chunk, donate_argnums=(0,))
+
+
+def make_critic_viz_fn(cfg, critic) -> Callable:
+    """Jitted: (params, x_all, y_all, bidx (B,), key) ->
+    (x_u8 shifted, y, pred) — the annotated-strip inputs
+    (main.py:204-226)."""
+    use_shift = bool(cfg.shift)
+    max_shift = int(cfg.shift)
+
+    def viz(params, x_all, y_all, bidx, key):
+        xb = jnp.take(x_all, bidx, axis=0)
+        yb = jnp.take(y_all, bidx, axis=0)
+        skey, dkey = jax.random.split(key)
+        if use_shift:
+            xb = shift_batch(skey, xb, max_shift)
+        pred = critic.apply({"params": params["critic"]}, ingest(xb),
+                            deterministic=False,
+                            rngs={"dropout": dkey}).squeeze(-1)
+        return xb, yb, pred
+
+    return jax.jit(viz)
+
+
+def make_masker_chunk(cfg, critic, masker,
+                      tx: optax.GradientTransformation) -> Callable:
+    """Jitted: (state, xpos, ypos, xneg, yneg, hidx (S,K), lidx (S,K),
+    cidx (S,2K), key) -> (state, losses (S,4)).
+
+    Batch assembly parity (main.py:344-361): A = [pos[h] || neg[l]],
+    Y = [ypos[h] || yneg[l]] at row rewidx, B = neg[c]; only A gets
+    the shift augmentation."""
+    loss_fn = build_masker_loss(cfg, critic, masker)
+    use_shift = bool(cfg.shift)
+    max_shift = int(cfg.shift)
+    trained_keys = trained_param_keys(cfg)
+
+    def chunk(state: TrainState, xpos, ypos, xneg, yneg,
+              hidx, lidx, cidx, key):
+        n_steps = hidx.shape[0]
+        keys = jax.random.split(key, n_steps)
+
+        def body(st, inp):
+            (h, l, c), k = inp
+            a_u8 = jnp.concatenate([jnp.take(xpos, h, axis=0),
+                                    jnp.take(xneg, l, axis=0)], axis=0)
+            y = jnp.concatenate([jnp.take(ypos, h, axis=0),
+                                 jnp.take(yneg, l, axis=0)], axis=0)
+            b_u8 = jnp.take(xneg, c, axis=0)
+            skey, dkey = jax.random.split(k)
+            if use_shift:
+                a_u8 = shift_batch(skey, a_u8, max_shift)
+            a = ingest(a_u8)
+            b = ingest(b_u8)
+            trainable = {n: st.params[n] for n in trained_keys}
+            constant = {n: v for n, v in st.params.items()
+                        if n not in trained_keys}
+            (_, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable, constant, a, y, b,
+                                       dkey)
+            updates, opt_state = tx.update(grads, st.opt_state,
+                                           trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            params = {**st.params, **new_trainable}
+            losses = jnp.stack([aux["replace"], aux["inject"],
+                                aux["norm"], aux["critic"]])
+            return TrainState(params=params, opt_state=opt_state,
+                              step=st.step + 1), losses
+
+        state, losses = jax.lax.scan(body, state,
+                                     ((hidx, lidx, cidx), keys))
+        return state, losses
+
+    return jax.jit(chunk, donate_argnums=(0,))
+
+
+def make_masker_viz_fn(cfg, critic, masker) -> Callable:
+    """Jitted: (params, xpos, ypos, xneg, yneg, h (K,), l (K,),
+    c (2K,), key) -> dict of the 7-row merge-viz tensors
+    (main.py:466-530): a, b, z, replaced, injected + annotation
+    vectors y, pred, negpred, replacevalue, injectvalue."""
+    loss_fn = build_masker_loss(cfg, critic, masker)
+    use_shift = bool(cfg.shift)
+    max_shift = int(cfg.shift)
+    trained_keys = trained_param_keys(cfg)
+
+    def viz(params, xpos, ypos, xneg, yneg, h, l, c, key):
+        a_u8 = jnp.concatenate([jnp.take(xpos, h, axis=0),
+                                jnp.take(xneg, l, axis=0)], axis=0)
+        y = jnp.concatenate([jnp.take(ypos, h, axis=0),
+                             jnp.take(yneg, l, axis=0)], axis=0)
+        b_u8 = jnp.take(xneg, c, axis=0)
+        skey, dkey = jax.random.split(key)
+        if use_shift:
+            a_u8 = shift_batch(skey, a_u8, max_shift)
+        a = ingest(a_u8)
+        b = ingest(b_u8)
+        trainable = {n: params[n] for n in trained_keys}
+        constant = {n: v for n, v in params.items()
+                    if n not in trained_keys}
+        _, aux = loss_fn(trainable, constant, a, y, b, dkey)
+        z = aux["z"]
+        return {
+            "a": a, "b": b, "z": z,
+            "replaced": a * (1 - z) + z * b,
+            "injected": b * (1 - z) + z * a,
+            "y": y, "pred": aux["pred"], "negpred": aux["negpred"],
+            "replacevalue": aux["replacevalue"],
+            "injectvalue": aux["injectvalue"],
+        }
+
+    return jax.jit(viz)
+
+
+def make_critic_infer_fn(critic, eval_mode: bool = True) -> Callable:
+    """Jitted batched critic sweep used by contrastive extraction
+    (main.py:245-253): (params, x_all u8, idx (B,)) -> pred (B,)."""
+
+    def infer(cparams, x_all, idx, key):
+        xb = ingest(jnp.take(x_all, idx, axis=0))
+        pred = critic.apply(
+            {"params": cparams}, xb,
+            deterministic=eval_mode,
+            rngs=None if eval_mode else {"dropout": key})
+        return pred.squeeze(-1)
+
+    return jax.jit(infer)

@@ -1,0 +1,125 @@
+"""Loss builders shared by the per-step and scanned-epoch trainers.
+
+See cgs_tpu/train/steps.py for the gradient-topology documentation;
+this module holds the pure loss functions themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from cgs_tpu.ops.merge import inject_merge, replace_merge
+
+Array = jnp.ndarray
+
+
+def mse(pred: Array, target: Array) -> Array:
+    return jnp.mean((pred - target) ** 2)
+
+
+def bce(pred: Array, target: Array) -> Array:
+    """F.binary_cross_entropy on sigmoid outputs (main.py:193,381),
+    with torch's clamp of the log terms at -100."""
+    eps = 1e-12
+    logp = jnp.maximum(jnp.log(pred + eps), -100.0)
+    lognp = jnp.maximum(jnp.log1p(-pred + eps), -100.0)
+    return -jnp.mean(target * logp + (1.0 - target) * lognp)
+
+
+def ingest(x_u8: Array) -> Array:
+    """uint8 NHWC -> float32 [0,1] (main.py:189 `.float()/255`)."""
+    return x_u8.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def build_critic_loss(cfg, critic):
+    """(cparams, x f32, y, dropout_key) -> scalar loss
+    (main.py:189-195)."""
+    use_bce = bool(cfg.threshrew)
+
+    def loss_fn(cparams, x, y, dkey):
+        pred = critic.apply({"params": cparams}, x, deterministic=False,
+                            rngs={"dropout": dkey})
+        pred = pred.squeeze(-1)
+        return bce(pred, y) if use_bce else mse(pred, y)
+
+    return loss_fn
+
+
+def build_masker_loss(cfg, critic, masker):
+    """(trainable, constant, a f32, y, b f32, dropout_key) ->
+    (loss, aux) where aux carries the per-term metrics and the
+    tensors the reference visualizes (main.py:364-429,466-530)."""
+    live = bool(cfg.live)
+    inject = bool(cfg.inject)
+    separate = bool(cfg.separate)
+    staticnorm = bool(cfg.staticnorm)
+    use_bce = bool(cfg.threshrew)
+    l1 = float(cfg.L1)
+    l2 = float(cfg.L2)
+    lfak = float(cfg.lfak)
+
+    def apply_critic(cparams, x, dkey, collect=False):
+        return critic.apply({"params": cparams}, x, collect=collect,
+                            deterministic=False, rngs={"dropout": dkey})
+
+    def loss_fn(trainable: Dict, constant: Dict, a, y, b, dkey):
+        p = {**constant, **trainable}
+        k = jax.random.split(dkey, 5)
+        pred, embeds = apply_critic(p["critic"], a, k[0], collect=True)
+        pred = pred.squeeze(-1)
+        negpred = jax.lax.stop_gradient(
+            apply_critic(p["critic"], b, k[1]).squeeze(-1))
+
+        aux = {"pred": pred, "negpred": negpred}
+        loss = 0.0
+        if live:  # main.py:378-385
+            closs = bce(pred, y) if use_bce else mse(pred, y)
+            loss = loss + lfak * closs
+            aux["critic"] = closs
+        else:
+            aux["critic"] = jnp.asarray(0.0)
+
+        if separate:  # main.py:389-390
+            _, embeds = apply_critic(p["sepcrit"], a, k[2],
+                                     collect=True)
+
+        z = masker.apply({"params": p["masker"]}, a, embeds)
+        aux["z"] = z
+
+        replaced = replace_merge(a, b, z)  # main.py:395
+        replacevalue = apply_critic(p["critic"], replaced,
+                                    k[3]).squeeze(-1)
+        replaceloss = mse(replacevalue, negpred)  # main.py:400
+        loss = loss + replaceloss
+        aux["replace"] = replaceloss
+        aux["replacevalue"] = replacevalue
+
+        if inject:  # main.py:405-413
+            injected = inject_merge(a, b, z)
+            injectvalue = apply_critic(p["critic"], injected,
+                                       k[4]).squeeze(-1)
+            injectloss = mse(injectvalue, jax.lax.stop_gradient(pred))
+            loss = loss + injectloss
+            aux["inject"] = injectloss
+            aux["injectvalue"] = injectvalue
+        else:
+            aux["inject"] = jnp.asarray(0.0)
+            aux["injectvalue"] = jnp.zeros_like(negpred)
+
+        # sparsity (main.py:415-429)
+        vf = 1.0 if staticnorm else (
+            1.0 - jax.lax.stop_gradient(pred)[:, None, None, None])
+        norm = jnp.asarray(0.0)
+        if l1:
+            norm = norm + l1 * jnp.mean(jnp.abs(vf * z))
+        if l2:
+            norm = norm + l2 * jnp.mean((vf * z) ** 2)
+        loss = loss + norm
+        aux["norm"] = norm
+        aux["loss"] = loss
+        return loss, aux
+
+    return loss_fn

@@ -25,12 +25,14 @@ optimizer (main.py:330-334); results are identical.
 Data parallelism: steps are jitted over a ('data','model') mesh with
 batch args sharded on 'data' and state replicated; XLA inserts the
 gradient all-reduce over ICI (see cgs_tpu/parallel/mesh.py).
+
+For epoch-granularity device-resident training (the fast path given
+dispatch latency), see cgs_tpu/train/loops.py.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +41,7 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cgs_tpu.ops.augment import shift_batch
-from cgs_tpu.ops.merge import inject_merge, replace_merge
+from cgs_tpu.train.losses import build_critic_loss, build_masker_loss, ingest
 
 Array = jnp.ndarray
 
@@ -57,22 +59,11 @@ def make_optimizer() -> optax.GradientTransformation:
     return optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
 
 
-def _mse(pred: Array, target: Array) -> Array:
-    return jnp.mean((pred - target) ** 2)
-
-
-def _bce(pred: Array, target: Array) -> Array:
-    """F.binary_cross_entropy on sigmoid outputs (main.py:193,381),
-    with torch's clamp of the log terms at -100."""
-    eps = 1e-12
-    logp = jnp.maximum(jnp.log(pred + eps), -100.0)
-    lognp = jnp.maximum(jnp.log1p(-pred + eps), -100.0)
-    return -jnp.mean(target * logp + (1.0 - target) * lognp)
-
-
-def _ingest(x_u8: Array) -> Array:
-    """uint8 NHWC -> float32 [0,1] (main.py:189 `.float()/255`)."""
-    return x_u8.astype(jnp.float32) * (1.0 / 255.0)
+def trained_param_keys(cfg) -> list:
+    """Which sub-trees the masker-phase optimizer trains
+    (main.py:330-334)."""
+    return ["masker"] + (["critic"] if cfg.live else []) + (
+        ["sepcrit"] if cfg.separate else [])
 
 
 # ---------------------------------------------------------------------
@@ -83,22 +74,16 @@ def make_critic_step(cfg, critic, tx: optax.GradientTransformation,
                      mesh=None) -> Callable:
     """Returns jitted step: (state, x_u8 (B,64,64,3), y (B,), key) ->
     (state, loss)."""
-    use_bce = bool(cfg.threshrew)
+    loss_fn = build_critic_loss(cfg, critic)
     use_shift = bool(cfg.shift)
     max_shift = int(cfg.shift)
-
-    def loss_fn(cparams, x, y, dkey):
-        pred = critic.apply({"params": cparams}, x, deterministic=False,
-                            rngs={"dropout": dkey})
-        pred = pred.squeeze(-1)
-        return _bce(pred, y) if use_bce else _mse(pred, y)
 
     def step(state: TrainState, x_u8: Array, y: Array,
              key: jax.Array) -> Tuple[TrainState, Array]:
         skey, dkey = jax.random.split(key)
         if use_shift:
             x_u8 = shift_batch(skey, x_u8, max_shift)
-        x = _ingest(x_u8)
+        x = ingest(x_u8)
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params["critic"], x, y, dkey)
         updates, opt_state = tx.update(
@@ -121,92 +106,28 @@ def make_masker_step(cfg, critic, masker,
     (state, a_u8 (2K,...), y (2K,), b_u8 (2K,...), key) ->
     (state, metrics dict). a is [K high || K low] frames (main.py:350),
     b is 2K contrast-negative frames."""
-    live = bool(cfg.live)
-    inject = bool(cfg.inject)
-    separate = bool(cfg.separate)
-    staticnorm = bool(cfg.staticnorm)
-    use_bce = bool(cfg.threshrew)
+    loss_fn = build_masker_loss(cfg, critic, masker)
     use_shift = bool(cfg.shift)
     max_shift = int(cfg.shift)
-    l1 = float(cfg.L1)
-    l2 = float(cfg.L2)
-    lfak = float(cfg.lfak)
-
-    def apply_critic(cparams, x, dkey, collect=False):
-        return critic.apply({"params": cparams}, x, collect=collect,
-                            deterministic=False, rngs={"dropout": dkey})
-
-    def loss_fn(trainable, constant, a, y, b, dkey):
-        p = {**constant, **trainable}
-        k = jax.random.split(dkey, 5)
-        pred, embeds = apply_critic(p["critic"], a, k[0], collect=True)
-        pred = pred.squeeze(-1)
-        negpred = jax.lax.stop_gradient(
-            apply_critic(p["critic"], b, k[1]).squeeze(-1))
-
-        metrics = {}
-        loss = 0.0
-        if live:  # main.py:378-385
-            closs = _bce(pred, y) if use_bce else _mse(pred, y)
-            loss = loss + lfak * closs
-            metrics["critic"] = closs
-
-        if separate:  # main.py:389-390: masker sees sepcrit's embeds
-            _, embeds = apply_critic(p["sepcrit"], a, k[2], collect=True)
-
-        z = masker.apply({"params": p["masker"]}, a, embeds)
-
-        replaced = replace_merge(a, b, z)            # main.py:395
-        replacevalue = apply_critic(p["critic"], replaced,
-                                    k[3]).squeeze(-1)
-        replaceloss = _mse(replacevalue, negpred)    # main.py:400
-        loss = loss + replaceloss
-        metrics["replace"] = replaceloss
-
-        if inject:  # main.py:405-413
-            injected = inject_merge(a, b, z)
-            injectvalue = apply_critic(p["critic"], injected,
-                                       k[4]).squeeze(-1)
-            injectloss = _mse(injectvalue, jax.lax.stop_gradient(pred))
-            loss = loss + injectloss
-            metrics["inject"] = injectloss
-        else:
-            metrics["inject"] = jnp.asarray(0.0)
-
-        # sparsity (main.py:415-429)
-        if staticnorm:
-            vf = 1.0
-        else:
-            vf = 1.0 - jax.lax.stop_gradient(
-                pred)[:, None, None, None]
-        norm = jnp.asarray(0.0)
-        if l1:
-            norm = norm + l1 * jnp.mean(jnp.abs(vf * z))
-        if l2:
-            norm = norm + l2 * jnp.mean((vf * z) ** 2)
-        loss = loss + norm
-        metrics["norm"] = norm
-        metrics["loss"] = loss
-        return loss, metrics
-
-    trained_keys = ["masker"] + (["critic"] if live else []) + (
-        ["sepcrit"] if separate else [])
+    trained_keys = trained_param_keys(cfg)
 
     def step(state: TrainState, a_u8: Array, y: Array, b_u8: Array,
              key: jax.Array):
         skey, dkey = jax.random.split(key)
         if use_shift:  # only A is shifted (main.py:355-357)
             a_u8 = shift_batch(skey, a_u8, max_shift)
-        a = _ingest(a_u8)
-        b = _ingest(b_u8)
+        a = ingest(a_u8)
+        b = ingest(b_u8)
         trainable = {n: state.params[n] for n in trained_keys}
         constant = {n: v for n, v in state.params.items()
                     if n not in trained_keys}
-        (_, metrics), grads = jax.value_and_grad(
+        (_, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable, constant, a, y, b, dkey)
         updates, opt_state = tx.update(grads, state.opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
         params = {**state.params, **new_trainable}
+        metrics = {k: aux[k] for k in
+                   ("replace", "inject", "norm", "critic", "loss")}
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), metrics
 

@@ -1,0 +1,44 @@
+"""Structured metrics / observability (SURVEY.md §5).
+
+The reference logs via bare prints and a `log.txt` arg dump
+(main.py:171-172,320-321). We keep those artifacts for parity and add
+a structured JSONL stream (`metrics.jsonl` per run dir) carrying loss
+curves, throughput and IoU as first-class records — greppable and
+TensorBoard-convertible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+
+class MetricsWriter:
+    def __init__(self, run_dir: str, filename: str = "metrics.jsonl"):
+        os.makedirs(run_dir, exist_ok=True)
+        self.path = os.path.join(run_dir, filename)
+        self._fp = open(self.path, "a", buffering=1)
+        self._t0 = time.time()
+
+    def write(self, kind: str, step: Optional[int] = None, **fields):
+        rec = {"t": round(time.time() - self._t0, 3), "kind": kind}
+        if step is not None:
+            rec["step"] = int(step)
+        for k, v in fields.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        self._fp.write(json.dumps(rec) + "\n")
+
+    def close(self):
+        self._fp.close()
+
+
+def write_log_header(run_dir: str, cfg) -> None:
+    """The reference's `log.txt` arg dump (main.py:171-172)."""
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "log.txt"), "w") as fp:
+        fp.write(f"{cfg}\n\n")
