@@ -1,0 +1,110 @@
+"""Dense-CRF mask refinement (reference main.py:1226-1263).
+
+Backend: the first-party C++ mean-field solver in native/densecrf
+(permutohedral-lattice bilateral + spatial Gaussian pairwise terms),
+loaded via ctypes and auto-built with `make` on first use. This
+replaces the reference's pydensecrf/SimpleCRF wheel — the one
+genuinely native dependency of its `-CRF` pipeline (SURVEY.md §2.2).
+
+Fixed parameters exactly as the reference's grid-collapsed choice
+(main.py:1230-1235): w1=22 (bilateral weight), alpha=12 (spatial std),
+beta=3.1 (rgb std), w2=8 (spatial weight), gamma=1.8 (std), 10 iters.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
+                           "native", "densecrf")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libcgs_densecrf.so")
+
+DEFAULT_PARAMS = dict(w1=22.0, alpha=12.0, beta=3.1, w2=8.0,
+                      gamma=1.8, iters=10)
+
+
+def _build() -> None:
+    subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                   check=True, capture_output=True)
+
+
+def _load_lib() -> ctypes.CDLL:
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+    lib.cgs_densecrf.restype = ctypes.c_int
+    lib.cgs_densecrf.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # img
+        ctypes.POINTER(ctypes.c_float),   # prob
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # H, W, C
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,  # w1 a b
+        ctypes.c_float, ctypes.c_float,   # w2 gamma
+        ctypes.c_int,                     # iters
+        ctypes.POINTER(ctypes.c_uint8),   # out
+    ]
+    return lib
+
+
+class DenseCRF:
+    """Batched 2-class CRF refinement callable:
+    (imgs uint8 (N,H,W,3), masks float (N,H,W)) -> bool (N,H,W).
+
+    `skip` strides the refinement exactly like the reference's crf()
+    (main.py:1239): only every skip-th frame is refined, others keep
+    their (thresholded) input mask."""
+
+    def __init__(self, params: Optional[dict] = None, skip: int = 1,
+                 debug_dir: Optional[str] = None):
+        self.lib = _load_lib()
+        self.params = dict(DEFAULT_PARAMS, **(params or {}))
+        self.skip = skip
+        self.debug_dir = debug_dir
+
+    def refine_frame(self, img_u8: np.ndarray,
+                     mask: np.ndarray) -> np.ndarray:
+        """One frame: (H,W,3) uint8 + (H,W) float mask -> (H,W) uint8
+        labels. Builds the 2-class prob [1-m, m] (main.py:1243)."""
+        h, w = mask.shape
+        prob = np.stack([1.0 - mask, mask], axis=-1)
+        prob = np.ascontiguousarray(prob, np.float32)
+        img = np.ascontiguousarray(img_u8, np.uint8)
+        out = np.empty((h, w), np.uint8)
+        p = self.params
+        rc = self.lib.cgs_densecrf(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h, w, 2,
+            ctypes.c_float(p["w1"]), ctypes.c_float(p["alpha"]),
+            ctypes.c_float(p["beta"]), ctypes.c_float(p["w2"]),
+            ctypes.c_float(p["gamma"]), int(p["iters"]),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise RuntimeError(f"cgs_densecrf failed rc={rc}")
+        return out
+
+    def __call__(self, imgs: np.ndarray,
+                 masks: np.ndarray) -> np.ndarray:
+        masks = np.asarray(masks, np.float32)
+        if masks.ndim == 4:  # (N,1,H,W) or (N,H,W,1)
+            masks = masks.squeeze(1) if masks.shape[1] == 1 \
+                else masks.squeeze(-1)
+        refined = masks.copy()
+        for i in range(0, len(masks), self.skip):
+            seg = self.refine_frame(imgs[i], masks[i])
+            refined[i] = seg
+            if self.debug_dir and not i % 50:  # main.py:1245-1248
+                from cgs_tpu.utils.artifacts import save_image
+                save_image(os.path.join(self.debug_dir,
+                                        f"{i}_mask.png"), masks[i])
+                save_image(os.path.join(self.debug_dir,
+                                        f"{i}_img.png"),
+                           imgs[i].astype(np.float32) / 255.0)
+                save_image(os.path.join(self.debug_dir,
+                                        f"{i}_crf.png"),
+                           seg.astype(np.float32))
+        return refined >= 1  # main.py:1263

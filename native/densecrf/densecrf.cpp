@@ -1,0 +1,130 @@
+// Dense CRF mean-field inference with Gaussian edge potentials
+// (Kraehenbuehl & Koltun, NIPS 2011), 2-class or K-class, on a
+// permutohedral lattice. First-party C++ replacement for the
+// reference's pydensecrf/SimpleCRF dependency (main.py:1244:
+// denseCRF.densecrf(img_u8, prob, (w1, alpha, beta, w2, gamma, it))).
+//
+// Energy: E(x) = sum_i U_i(x_i)
+//              + sum_{i<j} mu(x_i,x_j) [ w1 * exp(-|p_i-p_j|^2/2a^2
+//                                              -|I_i-I_j|^2/2b^2)
+//                                      + w2 * exp(-|p_i-p_j|^2/2g^2) ]
+// with Potts mu. Mean field updates:
+//   Q_i(k) ~ exp( -U_i(k) - sum_{l != k} [w1*Kb(Q_l) + w2*Ks(Q_l)]_i )
+// Messages are lattice-filtered and normalized by a filtered
+// all-ones channel.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+#include "permutohedral.h"
+
+namespace {
+
+void normalize_rows(std::vector<float>& q, int n, int c) {
+  for (int i = 0; i < n; ++i) {
+    float* row = q.data() + static_cast<size_t>(i) * c;
+    float sum = 0.f;
+    for (int k = 0; k < c; ++k) sum += row[k];
+    if (sum <= 0.f) sum = 1.f;
+    for (int k = 0; k < c; ++k) row[k] /= sum;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// img: H*W*3 uint8 RGB; prob: H*W*C float (per-pixel class probs);
+// out: H*W uint8 argmax labels after `iters` mean-field updates.
+// Returns 0 on success.
+int cgs_densecrf(const uint8_t* img, const float* prob, int H, int W,
+                 int C, float w1, float alpha, float beta, float w2,
+                 float gamma, int iters, uint8_t* out) {
+  const int N = H * W;
+  if (N <= 0 || C <= 0) return 1;
+
+  // ---- lattices --------------------------------------------------
+  std::vector<float> feat_b(static_cast<size_t>(N) * 5);
+  std::vector<float> feat_s(static_cast<size_t>(N) * 2);
+  for (int y = 0; y < H; ++y) {
+    for (int x = 0; x < W; ++x) {
+      int i = y * W + x;
+      feat_b[i * 5 + 0] = x / alpha;
+      feat_b[i * 5 + 1] = y / alpha;
+      feat_b[i * 5 + 2] = img[i * 3 + 0] / beta;
+      feat_b[i * 5 + 3] = img[i * 3 + 1] / beta;
+      feat_b[i * 5 + 4] = img[i * 3 + 2] / beta;
+      feat_s[i * 2 + 0] = x / gamma;
+      feat_s[i * 2 + 1] = y / gamma;
+    }
+  }
+  cgs::Permutohedral lat_b, lat_s;
+  lat_b.init(feat_b.data(), N, 5);
+  lat_s.init(feat_s.data(), N, 2);
+
+  // filtered all-ones channels for normalization
+  std::vector<float> ones(N, 1.f), norm_b(N), norm_s(N);
+  lat_b.compute(ones.data(), norm_b.data(), 1);
+  lat_s.compute(ones.data(), norm_s.data(), 1);
+  for (int i = 0; i < N; ++i) {
+    norm_b[i] = 1.f / std::max(norm_b[i], 1e-20f);
+    norm_s[i] = 1.f / std::max(norm_s[i], 1e-20f);
+  }
+
+  // ---- unary + init ----------------------------------------------
+  std::vector<float> unary(static_cast<size_t>(N) * C);
+  std::vector<float> q(static_cast<size_t>(N) * C);
+  for (size_t i = 0; i < unary.size(); ++i) {
+    float p = std::max(prob[i], 1e-8f);
+    unary[i] = -std::log(p);
+    q[i] = p;
+  }
+  normalize_rows(q, N, C);
+
+  // ---- mean field -------------------------------------------------
+  std::vector<float> mb(static_cast<size_t>(N) * C);
+  std::vector<float> ms(static_cast<size_t>(N) * C);
+  for (int it = 0; it < iters; ++it) {
+    lat_b.compute(q.data(), mb.data(), C);
+    lat_s.compute(q.data(), ms.data(), C);
+    for (int i = 0; i < N; ++i) {
+      float* qi = q.data() + static_cast<size_t>(i) * C;
+      const float* bi = mb.data() + static_cast<size_t>(i) * C;
+      const float* si = ms.data() + static_cast<size_t>(i) * C;
+      float msg[64];  // C <= 64
+      float total = 0.f;
+      for (int k = 0; k < C; ++k) {
+        msg[k] = w1 * bi[k] * norm_b[i] + w2 * si[k] * norm_s[i];
+        total += msg[k];
+      }
+      float maxe = -1e30f;
+      float e[64];
+      for (int k = 0; k < C; ++k) {
+        // Potts: cost from all OTHER labels' filtered mass
+        e[k] = -unary[static_cast<size_t>(i) * C + k] -
+               (total - msg[k]);
+        maxe = std::max(maxe, e[k]);
+      }
+      float z = 0.f;
+      for (int k = 0; k < C; ++k) {
+        qi[k] = std::exp(e[k] - maxe);
+        z += qi[k];
+      }
+      for (int k = 0; k < C; ++k) qi[k] /= z;
+    }
+  }
+
+  // ---- argmax -----------------------------------------------------
+  for (int i = 0; i < N; ++i) {
+    const float* qi = q.data() + static_cast<size_t>(i) * C;
+    int best = 0;
+    for (int k = 1; k < C; ++k)
+      if (qi[k] > qi[best]) best = k;
+    out[i] = static_cast<uint8_t>(best);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,65 @@
+"""C++ denseCRF (native/densecrf) correctness tests."""
+
+import numpy as np
+import pytest
+
+try:
+    from cgs_tpu.eval.crf import DenseCRF
+    _crf = DenseCRF()
+except Exception as e:  # toolchain missing -> skip, never fail CI
+    _crf = None
+    _err = str(e)
+
+pytestmark = pytest.mark.skipif(
+    _crf is None, reason=f"native densecrf unavailable")
+
+
+def _scene(rng, h=64, w=64):
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:] = (40, 130, 60)
+    img[16:48, 24:40] = (200, 60, 40)
+    gt = np.zeros((h, w), bool)
+    gt[16:48, 24:40] = True
+    return img, gt
+
+
+def _iou(a, b):
+    return (a & b).sum() / (a | b).sum()
+
+
+def test_crf_denoises_mask(rng):
+    img, gt = _scene(rng)
+    noisy = np.clip(gt * 0.75 + rng.normal(0, 0.22, gt.shape), 0, 1)
+    refined = _crf(img[None], noisy[None].astype(np.float32))[0]
+    assert refined.dtype == bool
+    assert _iou(refined, gt) > _iou(noisy > 0.5, gt)
+    assert _iou(refined, gt) > 0.95
+
+
+def test_crf_confident_mask_stable(rng):
+    """A clean confident mask must survive refinement ~unchanged."""
+    img, gt = _scene(rng)
+    conf = gt.astype(np.float32) * 0.98 + 0.01
+    refined = _crf(img[None], conf[None])[0]
+    assert _iou(refined, gt) > 0.9
+
+
+def test_crf_batch_and_skip(rng):
+    img, gt = _scene(rng)
+    noisy = np.clip(gt * 0.75 + rng.normal(0, 0.2, gt.shape), 0, 1)
+    imgs = np.stack([img] * 4)
+    masks = np.stack([noisy] * 4).astype(np.float32)
+    from cgs_tpu.eval.crf import DenseCRF
+    crf2 = DenseCRF(skip=2)
+    out = crf2(imgs, masks)
+    assert out.shape == (4, 64, 64)
+    # skipped frames keep the soft-mask >= 1 semantics (main.py:1263)
+    assert _iou(out[0], gt) > 0.9
+    np.testing.assert_array_equal(out[1], masks[1] >= 1)
+
+
+def test_crf_all_background(rng):
+    img, _ = _scene(rng)
+    flat = np.full((1, 64, 64), 0.02, np.float32)
+    out = _crf(img[None], flat)
+    assert out.sum() == 0
