@@ -1,0 +1,104 @@
+"""Shape tests for the legacy model zoo (SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cgs_tpu.models import zoo
+
+KEY = jax.random.PRNGKey(0)
+X = jnp.zeros((2, 64, 64, 3))
+
+
+def init_apply(model, *args, **kwargs):
+    variables = model.init({"params": KEY}, *args, **kwargs)
+    return model.apply(variables, *args, **kwargs)
+
+
+def test_legacy_critic():
+    assert init_apply(zoo.LegacyCritic(), X).shape == (2, 1, 1, 1)
+
+
+def test_small_critic():
+    x16 = jnp.zeros((2, 16, 16, 3))
+    assert init_apply(zoo.SmallCritic(), x16).shape == (2, 1, 1, 1)
+
+
+def test_noscale_critic():
+    x16 = jnp.zeros((2, 16, 16, 3))
+    assert init_apply(zoo.NoScaleCritic(), x16).shape == (2, 13, 13, 1)
+
+
+def test_autoencoder():
+    recon, enc = init_apply(zoo.AutoEncoder(enc_dim=4), X)
+    assert recon.shape == X.shape and enc.shape == (2, 4)
+
+
+def test_vae():
+    recon, mean, log_std = init_apply(zoo.VAE(enc_dim=4), X,
+                                      key=jax.random.PRNGKey(1))
+    assert recon.shape == X.shape
+    assert mean.shape == (2, 4) and log_std.shape == (2, 4)
+    loss = zoo.vae_loss(recon, X, mean, log_std)
+    assert jnp.isfinite(loss)
+
+
+def test_conv_encoder_decoder():
+    model = zoo.ConvEncoder64x64(enc_dim=4)
+    variables = model.init({"params": KEY}, X)
+    enc = model.apply(variables, X)
+    assert enc.shape == (2, 1, 1, 4)
+    enc2, embeds = model.apply(variables, X, embed=True)
+    assert embeds.shape[1:3] == (64, 64)
+    dec = init_apply(zoo.ConvDecoder64x64(enc_dim=4), enc)
+    assert dec.shape == (2, 64, 64, 3)
+
+
+def test_policy_net():
+    obs = jnp.zeros((2, 64, 64, 6))
+    logits = init_apply(zoo.PolicyNet(out_chs=10), obs)
+    assert logits.shape == (2, 10)
+    assert zoo.PolicyNet.greedy_action(logits).shape == (2,)
+
+
+def test_unet_mask_and_critic():
+    model = zoo.Unet()
+    variables = model.init({"params": KEY}, X)
+    mask = model.apply(variables, X)
+    assert mask.shape == (2, 64, 64, 1)
+    score = model.apply(variables, X, critic=True)
+    assert score.shape == (2, 1)
+    mask2, u0 = model.apply(variables, X, embeds=True)
+    assert u0.shape[1:3] == (32, 32)
+
+
+def test_small_unet():
+    assert init_apply(zoo.SmallUnet(), X).shape == (2, 64, 64, 1)
+
+
+def test_grounded_unet():
+    assert init_apply(zoo.GroundedUnet(), X).shape == (2, 64, 64, 1)
+
+
+def test_flexible_unet():
+    assert init_apply(zoo.FlexibleUnet(), X).shape == (2, 64, 64, 1)
+
+
+def test_vgg_critic():
+    out = init_apply(zoo.VGGCritic(), X)
+    assert out.shape == (2, 1)
+
+
+def test_vgg_embedder():
+    model = zoo.VGG11Features(collect_embeds=True)
+    variables = model.init({"params": KEY}, X)
+    feats, embeds = model.apply(variables, X)
+    assert feats.shape == (2, 2, 2, 512)
+    assert embeds.shape[1:3] == (64, 64)
+
+
+def test_resnet_critic():
+    model = zoo.ResNetCritic()
+    variables = model.init({"params": KEY}, X)
+    out = model.apply(variables, X)
+    assert out.shape == (2, 1)
