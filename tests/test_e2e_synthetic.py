@@ -1,0 +1,93 @@
+"""End-to-end pipeline test on the synthetic fixture (SURVEY.md §4
+item 3): both training phases + eval + process run through the real
+CLI dispatch in <~3 min on the CPU mesh, producing the reference's
+artifact layout. Mask *quality* is asserted separately in the TPU
+acceptance run (tiny step budgets here)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cgs_tpu.cli import main
+
+ARGS = ["-synthetic_data", "--datasize", "2000", "--testsize", "200",
+        "--cepochs", "8", "--visevery", "40", "--dropout", "0",
+        "--shift", "0", "--contrastive-min", "100",
+        "--model", "e2erun"]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    old = os.getcwd()
+    os.chdir(d)
+    yield d
+    os.chdir(old)
+
+
+@pytest.fixture(scope="module")
+def trained(workdir):
+    return main(["-train", "-eval"] + ARGS)
+
+
+def test_training_artifacts(trained, workdir):
+    run = workdir / "e2erun"
+    assert (run / "saves").exists()
+    pts = list((run / "saves").glob("critic-*.pt"))
+    assert pts, "critic checkpoint missing"
+    assert list((run / "saves").glob("masker-*.pt"))
+    assert (run / "critic" / "_loss.png").exists()
+    assert (run / "critic" / "log.txt").exists()
+    assert (run / "segment" / "_loss.png").exists()
+    assert list(run.glob("pred_idx1_hist.png"))
+    assert list(run.glob("*>0.7__*<0.3.txt"))  # count marker
+    assert (run / "metrics.jsonl").read_text().strip()
+
+
+def test_contrastive_split_was_learned(trained):
+    sets = trained.contrastive
+    assert sets.n_pos >= 100 and sets.n_neg >= 100
+    # the critic separated high/low frames (preds span the range)
+    assert sets.preds.max() > 0.7 and sets.preds.min() < 0.3
+
+
+def test_eval_outputs(trained, workdir):
+    # Handler.ious is the best-so-far tracker (main.py:77)
+    assert 0.0 <= trained.ious[0] <= 1.0
+    videos = list((workdir / "eval-results" / "e2erun").glob("*.mp4"))
+    assert videos, "best-eval comparison video missing"
+
+
+def test_checkpoint_reload_and_process(trained, workdir):
+    """Second invocation must load the saved .pt checkpoints (cload/
+    mload) and run -process with reference-named outputs."""
+    from cgs_tpu.data.synthetic import synthetic_eval_set
+    src = workdir / "srcimgs"
+    src.mkdir(exist_ok=True)
+    x, _ = synthetic_eval_set(6, seed=5)
+    for i in range(6):
+        Image.fromarray(x[i]).save(src / f"img{i}.png")
+
+    main(["-process", "-concatenated", "--source-imgs", str(src),
+          "--mask-output-imgs", str(workdir / "out")] + ARGS)
+    outs = sorted(os.listdir(workdir / "out"))
+    assert outs == [f"img{i}_with_mask.png" for i in range(6)]
+
+    # per-variant naming without -concatenated (main.py:1220-1223)
+    main(["-process", "--source-imgs", str(src),
+          "--mask-output-imgs", str(workdir / "out2")] + ARGS)
+    outs2 = os.listdir(workdir / "out2")
+    assert any(o.endswith("-raw-mask.png") for o in outs2)
+    assert any(o.endswith("-thresholded-mask.png") for o in outs2)
+
+
+def test_pt_checkpoint_is_torch_loadable(trained, workdir):
+    """The saved checkpoints must be plain torch state_dicts in the
+    reference layout — exchangeable with the upstream."""
+    import torch
+    pt = next((workdir / "e2erun" / "saves").glob("critic-*.pt"))
+    state = torch.load(str(pt), weights_only=True)
+    assert state["features.0.weight"].shape == (8, 3, 3, 3)
+    assert state["crit.4.weight"].shape == (1, 32)
