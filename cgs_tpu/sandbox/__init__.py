@@ -1,0 +1,18 @@
+"""Research-sandbox capabilities (SURVEY.md §2.4).
+
+TPU-native equivalents of the runnable ideas in the reference's
+`TrainHandler.py` experiment sandbox (which is itself not executable
+upstream — it imports packages missing from that repo,
+TrainHandler.py:8-9,27,30). Implemented here: TD(0) critic training,
+the water-frame discriminator, gradient-ascent "dream" visualization,
+sarsa frame-pair collection, and multi-seed run aggregation.
+
+Explicit non-goals (dead upstream, heavy deps): patch-embedding
+GMM/KMeans clustering and UMAP visualization (missing PatchEmbedder
+module upstream; SURVEY.md §7.4).
+"""
+
+from cgs_tpu.sandbox.td_critic import make_td_critic_step, sarsa_pairs  # noqa: F401
+from cgs_tpu.sandbox.discriminator import make_discriminator_step  # noqa: F401
+from cgs_tpu.sandbox.dream import dream  # noqa: F401
+from cgs_tpu.sandbox.multirun import run_seeds  # noqa: F401

@@ -1,0 +1,65 @@
+"""Multi-seed run aggregation (reference TrainHandler.py `main()`
+multi-run loop, 4024-4056): repeat the full pipeline over `--runs`
+seeds and append mean/std/best IoU to `results.txt` — the mechanism
+behind the paper's "IoU mean over 10 training seeds" table."""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def run_seeds(argv: List[str], runs: int,
+              results_path: str = "results.txt",
+              base_seed: int = 0) -> dict:
+    """Invoke the full CLI pipeline `runs` times with distinct seeds;
+    aggregate the primary (mask) IoU. argv: CLI args WITHOUT --seed.
+    Returns {'ious', 'mean', 'std', 'best'} and appends to
+    results.txt (TrainHandler.py:4048-4056 format spirit)."""
+    from cgs_tpu.cli import main
+
+    ious = []
+    for r in range(runs):
+        seed = base_seed + r
+        handler = main(argv + ["--seed", str(seed),
+                               "--model", _seeded_name(argv, seed)])
+        ious.append(float(handler.ious[0]))
+        print(f"[multirun] seed {seed}: IoU {ious[-1]}")
+
+    arr = np.asarray(ious)
+    summary = {"ious": ious, "mean": float(arr.mean()),
+               "std": float(arr.std()), "best": float(arr.max())}
+    line = (f"runs={runs} args={' '.join(argv)} "
+            f"ious={[round(v, 3) for v in ious]} "
+            f"mean={summary['mean']:.3f} std={summary['std']:.3f} "
+            f"best={summary['best']:.3f}\n")
+    with open(results_path, "a") as fp:
+        fp.write(line)
+    return summary
+
+
+def _seeded_name(argv: List[str], seed: int) -> str:
+    name = "default-model"
+    if "--model" in argv:
+        name = argv[argv.index("--model") + 1]
+    return f"{name}-seed{seed}"
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    """`python -m cgs_tpu.sandbox.multirun --runs N <cli args...>` —
+    the reference's `--runs` flag made functional (it is parsed but
+    dead in main.py)."""
+    import sys
+    argv = list(argv if argv is not None else sys.argv[1:])
+    runs = 1
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        runs = int(argv[i + 1])
+        del argv[i:i + 2]
+    run_seeds(argv, runs)
+
+
+if __name__ == "__main__":
+    main()

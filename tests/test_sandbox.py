@@ -1,0 +1,128 @@
+"""Tests for the research-sandbox components (SURVEY.md §2.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgs_tpu.core.config import Config
+from cgs_tpu.data.collect_variants import (
+    dedupe_chops, discounted_variants, merge_negative_bank,
+    reward_window_frames, split_chunks,
+)
+from cgs_tpu.models.critic import Critic
+from cgs_tpu.sandbox import (
+    dream, make_discriminator_step, make_td_critic_step, sarsa_pairs,
+)
+from cgs_tpu.train.steps import init_train_state, make_optimizer
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _critic_state():
+    critic = Critic(dropout=0.0)
+    cp = critic.init({"params": KEY}, jnp.zeros((2, 64, 64, 3)),
+                     collect=True)["params"]
+    tx = make_optimizer()
+    return critic, tx, init_train_state({"critic": cp}, tx)
+
+
+def test_sarsa_pairs_respect_episode_boundaries():
+    # two episodes of 10 frames each (I resets at 10)
+    i = np.concatenate([np.arange(10), np.arange(10)]).astype(np.uint16)
+    x = np.zeros((20, 4, 4, 3), np.uint8)
+    y = np.zeros(20, np.float32)
+    y[9] = 1.0
+    t, tp, r = sarsa_pairs(x, y, i, fskip=3)
+    assert (tp - t == 3).all()
+    # no pair crosses the boundary at index 10
+    assert not ((t < 10) & (tp >= 10)).any()
+    assert r[t == 9].sum() == 0 or 9 not in t  # 9+3 crosses -> dropped
+
+
+def test_td_critic_step_trains(rng):
+    critic, tx, state = _critic_state()
+    cfg = Config(shift=0, dropout=0.0)
+    step = make_td_critic_step(cfg, critic, tx, etha=0.98)
+    xt = jnp.asarray(rng.integers(0, 256, (8, 64, 64, 3), np.uint8))
+    xtp = jnp.asarray(rng.integers(0, 256, (8, 64, 64, 3), np.uint8))
+    r = jnp.zeros(8, jnp.float32)
+    for i in range(3):
+        state, loss = step(state, xt, xtp, r, jax.random.PRNGKey(i))
+        assert np.isfinite(float(loss))
+    assert int(state.step) == 3
+
+
+def test_discriminator_learns_two_banks(rng):
+    critic, tx, state = _critic_state()
+    step = make_discriminator_step(critic, tx)
+    # bank A: dark frames; bank B: bright frames
+    a = rng.integers(0, 60, (16, 64, 64, 3)).astype(np.uint8)
+    b = rng.integers(180, 256, (16, 64, 64, 3)).astype(np.uint8)
+    x = jnp.asarray(np.concatenate([a, b]))
+    y = jnp.asarray(np.concatenate([np.zeros(16), np.ones(16)])
+                    .astype(np.float32))
+    losses = []
+    for i in range(60):
+        state, loss = step(state, x, y, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.3
+
+
+def test_dream_increases_pred(rng):
+    critic, _, state = _critic_state()
+    x0 = jnp.asarray(rng.random((4, 64, 64, 3)).astype(np.float32))
+    final, traj, preds = dream(critic, state.params["critic"], x0,
+                               steps=32, lr=0.1)
+    assert final.shape == x0.shape
+    assert float(final.min()) >= 0.0 and float(final.max()) <= 1.0
+    # ascent must not decrease the mean critic value
+    assert float(preds[-1].mean()) >= float(preds[0].mean()) - 1e-5
+
+
+def test_dedupe_chops():
+    r = np.zeros(500)
+    r[[10, 30, 200, 210, 400]] = 1
+    out = dedupe_chops(r, min_delta=50)
+    np.testing.assert_array_equal(out, [10, 200, 400])
+
+
+def test_split_chunks():
+    pov = np.arange(400)[:, None, None, None].repeat(2, 1)
+    r = np.zeros(400)
+    r[150] = 1
+    pre, post = split_chunks(pov, r, chunklen=100)
+    assert pre.shape[0] == post.shape[0] == 1
+    assert pre[0, -1, 0, 0] == 150       # approach ends at the chop
+    assert post[0, 0, 0, 0] == 151       # aftermath starts after it
+
+
+def test_discounted_variants_semantics():
+    r = np.zeros(50)
+    r[[20, 49]] = 1
+    sel, rows = discounted_variants(r, gamma=0.9)
+    assert rows.shape[1] == 6
+    # at each chop frame: fak resets to 1 (col 1)
+    chop_rows = rows[np.isin(sel, [20, 49])]
+    np.testing.assert_allclose(chop_rows[:, 1], 1.0)
+    # addfak accumulates +1 per chop but decays between them
+    # (TrainHandler.py:3060,3078): earlier chop sits on the residue of
+    # the later one -> strictly above 1, later chop exactly 1
+    assert 1.0 < rows[sel == 20, 2][0] < 2.0
+    np.testing.assert_allclose(rows[sel == 49, 2], 1.0)
+    # sub counts down monotonically between chops (col 5)
+    mid = rows[(sel > 20) & (sel < 49)][:, 5]
+    assert (np.diff(mid) > 0).all()  # ascending toward the chop
+
+
+def test_reward_window_and_bank_merge():
+    pov = np.arange(100)[:, None]
+    r = np.zeros(100)
+    r[50] = 1
+    frames = reward_window_frames(pov, r, window=5)
+    np.testing.assert_array_equal(frames[:, 0], np.arange(45, 56))
+    x = np.zeros((10, 2, 2, 3), np.uint8)
+    y = np.ones((7, 10), np.float32)
+    nx = np.zeros((4, 2, 2, 3), np.uint8)
+    mx, my = merge_negative_bank(x, y, nx)
+    assert mx.shape[0] == 14 and my.shape == (7, 14)
+    assert (my[:, 10:] == 0).all()
