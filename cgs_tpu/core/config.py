@@ -130,6 +130,9 @@ class Config:
     bf16: bool = False           # bfloat16 compute for the conv stack
     synthetic_data: bool = False  # use the synthetic fixture dataset
     contrastive_min: int = 500   # min pos/neg frames (main.py:281)
+    profile: str = ""            # xplane trace dir (jax.profiler)
+    debug_nan: bool = False      # per-chunk NaN/Inf guards
+    orbax: bool = False          # full-train-state ckpt + resume
 
     def derive(self) -> "Config":
         """Reproduce the reference's post-parse derivations
@@ -237,6 +240,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true")
     p.add_argument("-synthetic_data", action="store_true")
     p.add_argument("--contrastive-min", type=int, default=500)
+    p.add_argument("--profile", type=str, default="")
+    p.add_argument("-debug_nan", action="store_true")
+    p.add_argument("-orbax", action="store_true")
     return p
 
 

@@ -50,6 +50,7 @@ from cgs_tpu.utils.artifacts import (
     annotate_strip, save_histogram, save_loss_plot,
 )
 from cgs_tpu.utils.metrics import MetricsWriter, write_log_header
+from cgs_tpu.utils.profiling import Profiler, nan_guard
 
 CRITIC = "critic"
 MASKER = "masker"
@@ -83,6 +84,7 @@ class Handler:
                      f"{cfg.critic_fingerprint()}.pt",
         }
         self.metrics = MetricsWriter(self.path)
+        self.profiler = Profiler(cfg.profile or None)
         self.data: Optional[DataBundle] = None
         self.contrastive = None
 
@@ -160,15 +162,33 @@ class Handler:
                              self.rng)
         x_dev, y_dev = self.data.x_train_dev, self.data.y_train_dev
 
+        # full-state resume (framework extension; the reference never
+        # saves optimizer state or step, SURVEY.md §5)
+        start_epoch = 0
+        ckpt_mgr = None
+        if cfg.orbax:
+            from cgs_tpu.train.checkpoints import OrbaxManager
+            ckpt_mgr = OrbaxManager(self.save_path + "orbax-critic/")
+            restored = ckpt_mgr.restore(state)
+            if restored is not None:
+                start_epoch, state, _ = restored
+                print(f"orbax resume: critic epoch {start_epoch}")
+
         llog: List[float] = []
         t0 = time.time()
-        for epoch in range(cfg.cepochs):
+        if cfg.profile:
+            self.profiler.start()
+        for epoch in range(start_epoch, cfg.cepochs):
             b_idx = 0
             for idx in loader.chunks(cfg.visevery):
-                state, losses = chunk_fn(state, x_dev, y_dev,
-                                         jnp.asarray(idx),
-                                         self._next_key())
+                with self.profiler.annotate("critic_chunk"):
+                    state, losses = chunk_fn(state, x_dev, y_dev,
+                                             jnp.asarray(idx),
+                                             self._next_key())
                 losses = np.asarray(losses)
+                if cfg.debug_nan:
+                    nan_guard({"losses": losses,
+                               "params": state.params}, "critic/")
                 llog.extend(losses.tolist())
                 print(f"critic e{epoch + 1} b{b_idx} "
                       f"{losses[-1]:.5f}", end="\r")
@@ -189,8 +209,14 @@ class Handler:
             if not (epoch + 1) % cfg.saveevery:   # main.py:228
                 self.params[CRITIC] = state.params[CRITIC]
                 self.save_models([CRITIC])
+            if ckpt_mgr is not None:
+                ckpt_mgr.save(epoch + 1, state)
             save_loss_plot(result_path + "_loss.png", llog,
                            ["Train Loss"])
+        if cfg.profile:
+            self.profiler.stop()
+        if ckpt_mgr is not None:
+            ckpt_mgr.wait()
         steps_total = len(llog)
         dt = time.time() - t0
         if steps_total:
@@ -248,11 +274,15 @@ class Handler:
                 s = min(cfg.visevery, steps_per_epoch - done)
                 h, l, c = sample_index_stacks(self.rng, sets.n_pos,
                                               sets.n_neg, s, k)
-                state, losses = chunk_fn(
-                    state, sets.xpos, sets.ypos, sets.xneg, sets.yneg,
-                    jnp.asarray(h), jnp.asarray(l), jnp.asarray(c),
-                    self._next_key())
+                with self.profiler.annotate("masker_chunk"):
+                    state, losses = chunk_fn(
+                        state, sets.xpos, sets.ypos, sets.xneg,
+                        sets.yneg, jnp.asarray(h), jnp.asarray(l),
+                        jnp.asarray(c), self._next_key())
                 losses = np.asarray(losses)       # (s, 4)
+                if cfg.debug_nan:
+                    nan_guard({"losses": losses,
+                               "params": state.params}, "masker/")
                 log_rows.append(losses)
                 r, i, nm, cl = losses[-1]
                 print(f"masker e{epoch} b{done} replace {r:.5f} "

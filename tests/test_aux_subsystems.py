@@ -1,0 +1,106 @@
+"""Aux subsystems (SURVEY.md §5): orbax full-state checkpointing +
+resume, profiler plumbing, NaN guards, metrics writer."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgs_tpu.models.critic import Critic
+from cgs_tpu.train.checkpoints import OrbaxManager
+from cgs_tpu.train.steps import init_train_state, make_optimizer
+from cgs_tpu.utils.metrics import MetricsWriter
+from cgs_tpu.utils.profiling import Profiler, nan_guard
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _state():
+    critic = Critic(dropout=0.0)
+    cp = critic.init({"params": KEY}, jnp.zeros((2, 64, 64, 3)),
+                     collect=True)["params"]
+    tx = make_optimizer()
+    return init_train_state({"critic": cp}, tx)
+
+
+def test_orbax_save_restore_roundtrip(tmp_path):
+    state = _state()
+    mgr = OrbaxManager(str(tmp_path / "ckpt"))
+    mgr.save(3, state)
+    mgr.wait()
+    assert mgr.latest_step() == 3
+
+    template = _state()
+    step, restored, _ = mgr.restore(template)
+    assert step == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        state.params, restored.params)
+    # optimizer state restored too (the reference never saves it)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        state.opt_state, restored.opt_state)
+
+
+def test_orbax_latest_wins(tmp_path):
+    state = _state()
+    mgr = OrbaxManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    mgr.save(2, state)
+    mgr.wait()
+    assert mgr.latest_step() == 2
+
+
+def test_orbax_restore_empty_returns_none(tmp_path):
+    mgr = OrbaxManager(str(tmp_path / "empty"))
+    assert mgr.restore(_state()) is None
+
+
+def test_nan_guard_detects():
+    good = {"a": jnp.ones(4), "b": jnp.zeros((2, 2))}
+    nan_guard(good, "ok/")  # no raise
+    bad = {"a": jnp.asarray([1.0, jnp.nan])}
+    with pytest.raises(FloatingPointError, match="bad/"):
+        nan_guard(bad, "bad/")
+    inf = {"x": jnp.asarray([jnp.inf])}
+    with pytest.raises(FloatingPointError):
+        nan_guard(inf)
+    ints = {"i": jnp.asarray([1, 2, 3])}  # non-float leaves skipped
+    nan_guard(ints)
+
+
+def test_profiler_annotation_noop_without_trace():
+    prof = Profiler(None)
+    with prof.annotate("region"):
+        x = jnp.sum(jnp.ones(8))
+    assert float(x) == 8.0
+    prof.start()   # no trace_dir -> no-op
+    prof.stop()
+
+
+def test_profiler_trace_writes_xplane(tmp_path):
+    prof = Profiler(str(tmp_path / "trace"))
+    with prof.trace():
+        with prof.annotate("work"):
+            jnp.dot(jnp.ones((64, 64)), jnp.ones((64, 64)))\
+                .block_until_ready()
+    files = [os.path.join(dp, f)
+             for dp, _, fs in os.walk(tmp_path / "trace") for f in fs]
+    assert files, "no trace artifacts written"
+
+
+def test_metrics_writer(tmp_path):
+    m = MetricsWriter(str(tmp_path))
+    m.write("loss", step=5, loss=0.25, tag="x")
+    m.write("eval", iou=0.4)
+    m.close()
+    lines = [json.loads(ln) for ln in
+             open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["kind"] == "loss" and lines[0]["step"] == 5
+    assert lines[0]["loss"] == 0.25
+    assert lines[1]["iou"] == 0.4
