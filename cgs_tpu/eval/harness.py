@@ -84,6 +84,16 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
 
     result = {"ious": ious, "preds": preds, "variants": variants}
 
+    if cfg.resimages:  # per-frame hard-mask dumps (main.py:1022-1025
+        # intent; the reference's own code path crashes on a missing
+        # imsave argument)
+        from cgs_tpu.utils.artifacts import save_image
+        resdir = os.path.join(out_dir, "resimages")
+        os.makedirs(resdir, exist_ok=True)
+        for i, m in enumerate(hard):
+            save_image(os.path.join(resdir, f"{i}.png"),
+                       m.astype(np.float32))
+
     if ious[0] > best_iou and cfg.visbesteval:            # main.py:1027
         os.makedirs(out_dir, exist_ok=True)
         video_path = os.path.join(

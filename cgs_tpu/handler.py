@@ -157,6 +157,8 @@ class Handler:
         result_path = self.path + "critic/"
         os.makedirs(result_path, exist_ok=True)
         write_log_header(result_path, cfg)
+        if cfg.directeval:                    # main.py:179-180
+            self.eval()
 
         tx = make_optimizer()
         state = init_train_state({CRITIC: self.params[CRITIC]}, tx)
@@ -261,6 +263,8 @@ class Handler:
         train_path = self.path + "segment/"
         os.makedirs(train_path, exist_ok=True)
         write_log_header(train_path, cfg)
+        if cfg.directeval:                    # main.py:337-338
+            self.eval()
 
         tx = make_optimizer()
         trained = trained_param_keys(cfg)
@@ -380,11 +384,29 @@ class Handler:
                               crf_fn=self._crf_fn())
 
     def visualize(self) -> List[str]:
-        """-viscritic/-vismasker curve videos (main.py:702-885)."""
+        """-viscritic/-vismasker curve videos (main.py:702-885).
+
+        --trainasvis N visualizes the first N *train* frames instead
+        of the test split, from clean_data when -cleaned
+        (main.py:736-742); otherwise the held-out test set."""
         from cgs_tpu.eval.visualize import visualize as vis
+        cfg = self.cfg
+        if cfg.trainasvis:
+            if cfg.cleaned:
+                from cgs_tpu.data.collect import clean_data
+                x, y, _ = clean_data(cfg)
+                y = np.tile(y, (7, 1)) if y.ndim == 1 else y
+            else:
+                x, y, _ = collect_data(cfg)
+            x = x[: cfg.trainasvis]
+            y_row = y[cfg.rewidx, : cfg.trainasvis]
+        else:
+            if self.data is None:
+                self.load_data()
+            x = self.data.x_test
+            y_row = self.data.y_test[cfg.rewidx]
         pipe = self._pipeline(salience=False)
-        return vis(self.cfg, pipe, self.data.x_test,
-                   self.data.y_test[self.cfg.rewidx], self.path)
+        return vis(cfg, pipe, x, y_row, self.path)
 
     def log(self, *args, key: str = "", **kwargs) -> None:
         """Gated print (main.py:887-889)."""
