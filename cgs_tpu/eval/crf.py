@@ -47,6 +47,18 @@ def _load_lib() -> ctypes.CDLL:
         ctypes.c_int,                     # iters
         ctypes.POINTER(ctypes.c_uint8),   # out
     ]
+    lib.cgs_densecrf_batch.restype = ctypes.c_int
+    lib.cgs_densecrf_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # imgs
+        ctypes.POINTER(ctypes.c_float),   # probs
+        ctypes.c_int,                     # n_frames
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # H, W, C
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.c_int,                     # iters
+        ctypes.POINTER(ctypes.c_uint8),   # out
+        ctypes.c_int,                     # n_threads
+    ]
     return lib
 
 
@@ -59,11 +71,12 @@ class DenseCRF:
     their (thresholded) input mask."""
 
     def __init__(self, params: Optional[dict] = None, skip: int = 1,
-                 debug_dir: Optional[str] = None):
+                 debug_dir: Optional[str] = None, n_threads: int = 0):
         self.lib = _load_lib()
         self.params = dict(DEFAULT_PARAMS, **(params or {}))
         self.skip = skip
         self.debug_dir = debug_dir
+        self.n_threads = n_threads  # 0 = hardware concurrency
 
     def refine_frame(self, img_u8: np.ndarray,
                      mask: np.ndarray) -> np.ndarray:
@@ -94,11 +107,29 @@ class DenseCRF:
             masks = masks.squeeze(1) if masks.shape[1] == 1 \
                 else masks.squeeze(-1)
         refined = masks.copy()
-        for i in range(0, len(masks), self.skip):
-            seg = self.refine_frame(imgs[i], masks[i])
-            refined[i] = seg
-            if self.debug_dir and not i % 50:  # main.py:1245-1248
-                from cgs_tpu.utils.artifacts import save_image
+        sel = np.arange(0, len(masks), self.skip)
+        sub = masks[sel]
+        n, h, w = sub.shape
+        probs = np.ascontiguousarray(
+            np.stack([1.0 - sub, sub], axis=-1), np.float32)
+        sub_imgs = np.ascontiguousarray(imgs[sel], np.uint8)
+        out = np.empty((n, h, w), np.uint8)
+        p = self.params
+        rc = self.lib.cgs_densecrf_batch(
+            sub_imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, h, w, 2,
+            ctypes.c_float(p["w1"]), ctypes.c_float(p["alpha"]),
+            ctypes.c_float(p["beta"]), ctypes.c_float(p["w2"]),
+            ctypes.c_float(p["gamma"]), int(p["iters"]),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.n_threads)
+        if rc != 0:
+            raise RuntimeError(f"cgs_densecrf_batch failed rc={rc}")
+        refined[sel] = out
+        if self.debug_dir:  # every 50th refined frame (main.py:1245)
+            from cgs_tpu.utils.artifacts import save_image
+            for j, i in enumerate(sel[::50]):
                 save_image(os.path.join(self.debug_dir,
                                         f"{i}_mask.png"), masks[i])
                 save_image(os.path.join(self.debug_dir,
@@ -106,5 +137,5 @@ class DenseCRF:
                            imgs[i].astype(np.float32) / 255.0)
                 save_image(os.path.join(self.debug_dir,
                                         f"{i}_crf.png"),
-                           seg.astype(np.float32))
+                           out[j * 50].astype(np.float32))
         return refined >= 1  # main.py:1263

@@ -14,8 +14,10 @@
 // all-ones channel.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 #include "permutohedral.h"
@@ -125,6 +127,40 @@ int cgs_densecrf(const uint8_t* img, const float* prob, int H, int W,
     out[i] = static_cast<uint8_t>(best);
   }
   return 0;
+}
+
+// Batched entry: refine `n_frames` independent frames across a
+// std::thread pool (frames are embarrassingly parallel; the
+// reference's per-frame Python loop at main.py:1241 is serial).
+// n_threads <= 0 selects hardware_concurrency.
+int cgs_densecrf_batch(const uint8_t* imgs, const float* probs,
+                       int n_frames, int H, int W, int C, float w1,
+                       float alpha, float beta, float w2, float gamma,
+                       int iters, uint8_t* out, int n_threads) {
+  if (n_frames <= 0) return 1;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads <= 0) n_threads = hw > 0 ? hw : 4;
+  n_threads = std::min(n_threads, n_frames);
+
+  std::atomic<int> next(0);
+  std::atomic<int> rc(0);
+  auto worker = [&]() {
+    for (;;) {
+      int f = next.fetch_add(1);
+      if (f >= n_frames) break;
+      int r = cgs_densecrf(
+          imgs + static_cast<size_t>(f) * H * W * 3,
+          probs + static_cast<size_t>(f) * H * W * C, H, W, C, w1,
+          alpha, beta, w2, gamma, iters,
+          out + static_cast<size_t>(f) * H * W);
+      if (r != 0) rc.store(r);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return rc.load();
 }
 
 }  // extern "C"
