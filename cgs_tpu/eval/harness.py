@@ -25,13 +25,21 @@ from cgs_tpu.ops.saliency import (
 )
 
 
-def load_eval_set(cfg, evaldatapath: str = "red-trees/"):
+def load_eval_set(cfg, evaldatapath: str = "red-trees/",
+                  folder: str = ""):
     """X float (N,64,64,3) in [0,1], gt bool (N,64,64).
 
     Real data: `red-trees/X.npy` + `Y.npy`, GT binarized via
-    np.all over the last axis (main.py:920-925). Falls back to the
-    synthetic fixture when the npy files are absent (they are stripped
-    from this mirror) or when -synthetic_data is set."""
+    np.all over the last axis (main.py:920-925). With `folder`, frames
+    come from that directory and GT is all-zero (the reference's
+    eval(folder=...) / -resimages branch, main.py:917-918,925). Falls
+    back to the synthetic fixture when the npy files are absent (they
+    are stripped from this mirror) or when -synthetic_data is set."""
+    if folder:
+        from cgs_tpu.eval.segment import load_folder
+        x, _ = load_folder(folder)
+        gt = np.zeros(x.shape[:3], bool)
+        return x.astype(np.float32), gt
     xp = os.path.join(evaldatapath, "X.npy")
     yp = os.path.join(evaldatapath, "Y.npy")
     if not cfg.synthetic_data and os.path.exists(xp) and os.path.exists(yp):

@@ -83,18 +83,28 @@ def render_curves_video(path: str, frames: np.ndarray,
 
 
 def visualize(cfg, pipeline, x_test: np.ndarray, y_test_row: np.ndarray,
-              out_dir: str) -> list:
+              out_dir: str, y_matrix: Optional[np.ndarray] = None
+              ) -> list:
     """The -viscritic/-vismasker flow (main.py:736-885): batched
     preds (+masks), then curves / pred-sorted / (GT-sorted if
-    --sortidx) videos named from --visname."""
-    out = pipeline.run(x_test)
-    preds = out.preds
-    values = np.stack([y_test_row, preds], axis=0)  # main.py:804
+    --sortidx) videos named from --visname.
 
-    rows = [x_test.astype(np.float32) / 255.0]
-    if cfg.vismasker:                               # main.py:805-811
-        rows.append(rows[0] * out.masks)
-    frames = np.stack(rows, axis=0)
+    --purevis "i,j,..." skips model inference and plots the selected
+    label-matrix rows directly (main.py:764-767 intent — the upstream
+    branch indexes Y by the parsed list without a model pass)."""
+    if cfg.purevis and y_matrix is not None:
+        idxs = [int(e) for e in cfg.purevis.split(",")]
+        values = y_matrix[idxs]
+        frames = (x_test.astype(np.float32) / 255.0)[None]
+    else:
+        out = pipeline.run(x_test)
+        preds = out.preds
+        values = np.stack([y_test_row, preds], axis=0)  # main.py:804
+
+        rows = [x_test.astype(np.float32) / 255.0]
+        if cfg.vismasker:                           # main.py:805-811
+            rows.append(rows[0] * out.masks)
+        frames = np.stack(rows, axis=0)
 
     name = cfg.visname
     paths = [os.path.join(out_dir, f"{name}.mp4")]

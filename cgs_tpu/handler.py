@@ -99,20 +99,24 @@ class Handler:
         return k
 
     def reset_models(self) -> None:
-        """Fresh params (main.py:106-111)."""
-        x0 = jnp.zeros((2, 64, 64, 3))
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(self.cfg.seed),
-                                      3)
-        cparams = self.critic.init({"params": k1}, x0,
-                                   collect=True)["params"]
-        _, embeds = self.critic.apply({"params": cparams}, x0,
-                                      collect=True)
-        mparams = self.masker.init({"params": k2}, x0,
-                                   embeds)["params"]
-        self.params: Dict = {CRITIC: cparams, MASKER: mparams}
-        if self.cfg.separate:
-            self.params[SEPCRIT] = self.critic.init(
-                {"params": k3}, x0, collect=True)["params"]
+        """Fresh params (main.py:106-111). Initialization runs on the
+        host CPU backend — remote-compiling the tiny init programs
+        through a TPU tunnel costs ~45 s for nothing; params migrate
+        to the accelerator on first real use."""
+        with jax.default_device(jax.devices("cpu")[0]):
+            x0 = jnp.zeros((2, 64, 64, 3))
+            k1, k2, k3 = jax.random.split(
+                jax.random.PRNGKey(self.cfg.seed), 3)
+            cparams = self.critic.init({"params": k1}, x0,
+                                       collect=True)["params"]
+            _, embeds = self.critic.apply({"params": cparams}, x0,
+                                          collect=True)
+            mparams = self.masker.init({"params": k2}, x0,
+                                       embeds)["params"]
+            self.params: Dict = {CRITIC: cparams, MASKER: mparams}
+            if self.cfg.separate:
+                self.params[SEPCRIT] = self.critic.init(
+                    {"params": k3}, x0, collect=True)["params"]
 
     def load_models(self, modelnames: Optional[List[str]] = None) -> bool:
         """.pt checkpoint load; False if any file is missing
@@ -362,10 +366,12 @@ class Handler:
             return None
 
     def eval(self, folder: str = "") -> List[float]:
-        """IoU eval (main.py:891-1101)."""
+        """IoU eval (main.py:891-1101); with `folder`, evaluates a
+        directory of images against an all-zero GT (reference
+        main.py:917-918 semantics)."""
         cfg = self.cfg
         out_dir = f"eval-results/{cfg.name}/"
-        x, gt = load_eval_set(cfg)
+        x, gt = load_eval_set(cfg, folder=folder)
         pipe = self._pipeline(salience=cfg.salience)
         result = evaluate(cfg, pipe, x, gt, crf_fn=self._crf_fn(),
                           best_iou=self.ious[0], out_dir=out_dir)
@@ -399,14 +405,16 @@ class Handler:
             else:
                 x, y, _ = collect_data(cfg)
             x = x[: cfg.trainasvis]
-            y_row = y[cfg.rewidx, : cfg.trainasvis]
+            y_mat = y[:, : cfg.trainasvis]
+            y_row = y_mat[cfg.rewidx]
         else:
             if self.data is None:
                 self.load_data()
             x = self.data.x_test
-            y_row = self.data.y_test[cfg.rewidx]
+            y_mat = self.data.y_test
+            y_row = y_mat[cfg.rewidx]
         pipe = self._pipeline(salience=False)
-        return vis(cfg, pipe, x, y_row, self.path)
+        return vis(cfg, pipe, x, y_row, self.path, y_matrix=y_mat)
 
     def log(self, *args, key: str = "", **kwargs) -> None:
         """Gated print (main.py:887-889)."""

@@ -1,0 +1,78 @@
+"""Visualize / eval-mode coverage: curve videos, purevis, eval over a
+folder, -test flag implications."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cgs_tpu.core.config import Config, parse_args
+from cgs_tpu.handler import Handler
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vis")
+    old = os.getcwd()
+    os.chdir(d)
+    yield d
+    os.chdir(old)
+
+
+@pytest.fixture(scope="module")
+def handler(workdir):
+    cfg = Config(synthetic_data=True, datasize=600, testsize=100,
+                 model="visrun", vismasker=True).derive()
+    h = Handler(cfg)
+    h.load_data()
+    return h
+
+
+def test_visualize_writes_three_videos(handler, workdir):
+    paths = handler.visualize()
+    # curves, pred-sorted, GT-sorted (sortidx=1 default, main.py:879-884)
+    assert len(paths) == 3
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+    assert paths[0].endswith("curves.mp4")
+    assert paths[1].endswith("curves-pred-sorted.mp4")
+    assert paths[2].endswith("curves-GT-sorted.mp4")
+
+
+def test_purevis_skips_model(handler, workdir):
+    handler.cfg.purevis = "0,1"
+    try:
+        paths = handler.visualize()
+        assert all(os.path.exists(p) for p in paths)
+    finally:
+        handler.cfg.purevis = ""
+
+
+def test_eval_folder_mode(handler, workdir):
+    src = workdir / "evalimgs"
+    src.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                     dtype=np.uint8)).save(
+            src / f"f{i}.png")
+    handler.cfg.visbesteval = False  # zero-GT -> IoU 0, no video
+    ious = handler.eval(folder=str(src))
+    assert len(ious) == 1 and ious[0] == 0.0  # all-zero GT
+
+
+def test_test_flag_implications():
+    cfg = parse_args(["-test"])
+    # main.py:1540-1545
+    assert cfg.eval and cfg.salience and cfg.visbesteval
+    assert not cfg.crf
+    assert not cfg.train          # cload default True
+    cfg2 = parse_args(["-test", "-frozen"])
+    assert not cfg2.live
+
+
+def test_dead_flags_accepted():
+    cfg = parse_args(["-grabcut", "-soft", "--lr", "0.1", "--runs", "3",
+                      "-clippify"])
+    assert cfg.runs == 3  # parsed, functional only via sandbox.multirun
