@@ -276,11 +276,21 @@ class Handler:
         chunk_fn = make_masker_chunk(cfg, self.critic, self.masker, tx)
         viz_fn = make_masker_viz_fn(cfg, self.critic, self.masker)
 
+        start_epoch = 0
+        ckpt_mgr = None
+        if cfg.orbax:
+            from cgs_tpu.train.checkpoints import OrbaxManager
+            ckpt_mgr = OrbaxManager(self.save_path + "orbax-masker/")
+            restored = ckpt_mgr.restore(state)
+            if restored is not None:
+                start_epoch, state, _ = restored
+                print(f"orbax resume: masker epoch {start_epoch}")
+
         k = 32  # contrastive batch (main.py:309)
         steps_per_epoch = -(-sets.n_pos // k)     # main.py:342
         log_rows: List[np.ndarray] = []
         t0 = time.time()
-        for epoch in range(cfg.mepochs):
+        for epoch in range(start_epoch, cfg.mepochs):
             done = 0
             while done < steps_per_epoch:
                 s = min(cfg.visevery, steps_per_epoch - done)
@@ -331,7 +341,11 @@ class Handler:
                 for name in trained:
                     self.params[name] = state.params[name]
                 self.save_models([MASKER])
+            if ckpt_mgr is not None:
+                ckpt_mgr.save(epoch + 1, state)
 
+        if ckpt_mgr is not None:
+            ckpt_mgr.wait()
         total = sum(r.shape[0] for r in log_rows)
         dt = time.time() - t0
         if total:
