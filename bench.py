@@ -46,18 +46,25 @@ def main():
     frames = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, (batch, 64, 64, 3), dtype=np.uint8))
 
-    # compile + warmup
-    *_, ck = pipe.run_device(frames)
-    float(ck)
-
-    n_iter = 8
-    t0 = time.time()
-    cks = []
-    for _ in range(n_iter):
+    # compile + warmup (first executions after compile pay a one-time
+    # slow path on the tunneled runtime — warm thoroughly)
+    for _ in range(3):
         *_, ck = pipe.run_device(frames)
-        cks.append(ck)
-    float(sum(cks))  # host readback = hard sync
-    dt = (time.time() - t0) / n_iter
+        float(ck)
+
+    # median of 3 groups of 8 async-dispatched iterations, synced by a
+    # single checksum readback per group
+    n_iter = 8
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        cks = []
+        for _ in range(n_iter):
+            *_, ck = pipe.run_device(frames)
+            cks.append(ck)
+        float(sum(cks))  # host readback = hard sync
+        times.append((time.time() - t0) / n_iter)
+    dt = sorted(times)[1]
     fps = batch / dt
 
     print(json.dumps({
