@@ -64,7 +64,7 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
     preds, masks, sal = out.preds, out.masks, out.saliency
 
     hard = (masks > cfg.eval_thresh).squeeze(-1)          # main.py:964
-    ious = [iou(hard, gt)]
+    ious = [_mask_iou(cfg, masks, gt, hard)]
     variants = {"mask": masks.squeeze(-1), "hard": hard}
 
     crf_hard = None
@@ -109,6 +109,28 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
         render_eval_video(video_path, x, gt, variants, ious)
         result["video"] = video_path
     return result
+
+
+def _mask_iou(cfg, masks: np.ndarray, gt: np.ndarray,
+              hard: np.ndarray) -> float:
+    """Primary mask IoU. On TPU the threshold + intersection/union
+    reduction runs as the fused Pallas kernel (threshold never
+    materializes a hard-mask array in HBM); host numpy elsewhere —
+    cross-checked by tests/test_pallas_kernels.py."""
+    import jax
+
+    if getattr(cfg, "use_pallas", True) and \
+            jax.default_backend() == "tpu":
+        import jax.numpy as jnp
+
+        from cgs_tpu.ops.pallas_kernels import threshold_iou
+        n = masks.shape[0]
+        flat = jnp.asarray(masks.reshape(n, -1))
+        gts = jnp.asarray(gt.reshape(n, -1))
+        inter, union = threshold_iou(flat, gts,
+                                     float(cfg.eval_thresh))
+        return round(int(inter) / max(int(union), 1), 3)
+    return iou(hard, gt)
 
 
 def _color_code(gt: np.ndarray, m: np.ndarray) -> np.ndarray:

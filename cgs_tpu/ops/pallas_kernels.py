@@ -117,10 +117,22 @@ def broadcast_mask(z: Array, channels: int = 3) -> Array:
 # fused threshold + IoU partial sums
 # ---------------------------------------------------------------------
 
-def _thresh_iou_kernel(m_ref, gt_ref, thresh_ref, inter_ref, union_ref):
+def _thresh_iou_kernel(m_ref, gt_ref, scalars_ref, inter_ref,
+                       union_ref):
     i = pl.program_id(0)
-    hard = m_ref[:] > thresh_ref[0]
-    gt = gt_ref[:] > 0
+    block_n = m_ref.shape[0]
+    thresh = scalars_ref[0]
+    n_valid = scalars_ref[1].astype(jnp.int32)
+    hard = m_ref[:] > thresh
+    # Mosaic can't compare sub-32-bit int vectors — widen first
+    gt = gt_ref[:].astype(jnp.int32) > 0
+    # mask rows beyond N: the final block's padding is UNSPECIFIED on
+    # TPU (interpret mode zeros it, hiding the bug)
+    row = jax.lax.broadcasted_iota(jnp.int32,
+                                   (block_n, m_ref.shape[1]), 0)
+    valid = (row + i * block_n) < n_valid
+    hard = jnp.logical_and(hard, valid)
+    gt = jnp.logical_and(gt, valid)
     inter = jnp.sum(jnp.logical_and(hard, gt).astype(jnp.int32))
     union = jnp.sum(jnp.logical_or(hard, gt).astype(jnp.int32))
 
@@ -149,7 +161,7 @@ def threshold_iou(masks: Array, gt: Array, thresh: float,
     grid = (_cdiv(n, block_n),)
     spec = pl.BlockSpec((block_n, f), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    thresh_arr = jnp.asarray([thresh], jnp.float32)
+    scalars = jnp.asarray([thresh, float(n)], jnp.float32)
     inter, union = pl.pallas_call(
         _thresh_iou_kernel,
         out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -160,5 +172,5 @@ def threshold_iou(masks: Array, gt: Array, thresh: float,
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         interpret=_interpret(),
-    )(masks, gt.astype(jnp.uint8), thresh_arr)
+    )(masks, gt.astype(jnp.uint8), scalars)
     return inter[0, 0], union[0, 0]
