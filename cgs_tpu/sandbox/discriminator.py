@@ -8,7 +8,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
+
 import optax
 
 from cgs_tpu.train.losses import bce, ingest

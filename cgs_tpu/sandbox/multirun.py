@@ -5,7 +5,7 @@ behind the paper's "IoU mean over 10 training seeds" table."""
 
 from __future__ import annotations
 
-import os
+
 from typing import List, Optional
 
 import numpy as np
