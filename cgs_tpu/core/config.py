@@ -126,7 +126,12 @@ class Config:
     data_parallel: int = 0       # 0 = use all local devices
     use_pallas: bool = True      # pallas kernels on TPU hot paths
     batch_size: int = 64         # critic-phase batch (main.py:113 default)
-    infer_batch: int = 128       # eval/process batch (main.py:910,1119)
+    infer_batch: int = 0         # eval/process batch; 0 = auto
+                                 # (8192 on TPU, 128 elsewhere — the
+                                 # reference's 128 at main.py:910,1119
+                                 # is an implementation detail, not an
+                                 # interface; outputs are batch-
+                                 # invariant)
     bf16: bool = False           # bfloat16 compute for the conv stack
     synthetic_data: bool = False  # use the synthetic fixture dataset
     contrastive_min: int = 500   # min pos/neg frames (main.py:281)
@@ -240,6 +245,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true")
     p.add_argument("-synthetic_data", action="store_true")
     p.add_argument("--contrastive-min", type=int, default=500)
+    p.add_argument("--infer-batch", type=int, default=0)
     p.add_argument("--profile", type=str, default="")
     p.add_argument("-debug_nan", action="store_true")
     p.add_argument("-orbax", action="store_true")

@@ -359,9 +359,11 @@ class Handler:
     # -- eval / inference ---------------------------------------------
 
     def _pipeline(self, salience: bool) -> MaskPipeline:
+        batch = self.cfg.infer_batch or (
+            8192 if jax.default_backend() == "tpu" else 128)
         return MaskPipeline(
             self.critic, self.masker, self.params,
-            batch_size=self.cfg.infer_batch,
+            batch_size=batch,
             salience=salience,
             eval_mode=not self.cfg.noevalmode,   # main.py:900-909
             separate=self.cfg.separate,

@@ -89,3 +89,18 @@ def test_torch_default_init_distribution():
     bound = 1 / np.sqrt(256)
     assert np.abs(w).max() <= bound
     assert np.abs(w).max() > 0.8 * bound  # actually fills the range
+
+
+def test_bf16_compute_path(critic_setup):
+    """--bf16 models: bfloat16 conv stacks, float32 sigmoid outputs."""
+    _, params, x = critic_setup
+    critic16 = Critic(compute_dtype=jnp.bfloat16)
+    pred, embeds = critic16.apply(params, x, collect=True)
+    assert pred.dtype == jnp.float32
+    assert embeds[0].dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(pred).all())
+    dec16 = UnetDecoder(compute_dtype=jnp.bfloat16)
+    dparams = dec16.init({"params": KEY}, x, embeds)
+    mask = dec16.apply(dparams, x, embeds)
+    assert mask.dtype == jnp.float32
+    assert bool(jnp.isfinite(mask).all())
