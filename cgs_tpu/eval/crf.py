@@ -128,14 +128,47 @@ class DenseCRF:
             raise RuntimeError(f"cgs_densecrf_batch failed rc={rc}")
         refined[sel] = out
         if self.debug_dir:  # every 50th refined frame (main.py:1245)
-            from cgs_tpu.utils.artifacts import save_image
-            for j, i in enumerate(sel[::50]):
-                save_image(os.path.join(self.debug_dir,
-                                        f"{i}_mask.png"), masks[i])
-                save_image(os.path.join(self.debug_dir,
-                                        f"{i}_img.png"),
-                           imgs[i].astype(np.float32) / 255.0)
-                save_image(os.path.join(self.debug_dir,
-                                        f"{i}_crf.png"),
-                           out[j * 50].astype(np.float32))
+            self._dump_debug(imgs, masks, out, sel)
         return refined >= 1  # main.py:1263
+
+    def _dump_debug(self, imgs, masks, out, sel):
+        from cgs_tpu.utils.artifacts import save_image
+        for j, i in enumerate(sel[::50]):
+            save_image(os.path.join(self.debug_dir,
+                                    f"{i}_mask.png"), masks[i])
+            save_image(os.path.join(self.debug_dir, f"{i}_img.png"),
+                       imgs[i].astype(np.float32) / 255.0)
+            save_image(os.path.join(self.debug_dir, f"{i}_crf.png"),
+                       out[j * 50].astype(np.float32))
+
+
+def grid_search(imgs: np.ndarray, masks: np.ndarray, gt: np.ndarray,
+                w1=(22.0,), alpha=(12.0,), beta=(3.1,), w2=(8.0,),
+                gamma=(1.8,), iters=(10,), skip: int = 1,
+                n_threads: int = 0):
+    """CRF hyperparameter grid search (the reference's crf() retains
+    exactly this scaffolding: per-combo refinement, IoU vs GT, sorted
+    results, main.py:1230-1262). Returns (results sorted ascending by
+    IoU as [(params_dict, iou)], best_refined_masks)."""
+    results = []
+    best = None
+    for a in w1:
+        for b in alpha:
+            for c in beta:
+                for d in w2:
+                    for e in gamma:
+                        for it in iters:
+                            params = dict(w1=a, alpha=b, beta=c, w2=d,
+                                          gamma=e, iters=it)
+                            crf = DenseCRF(params, skip=skip,
+                                           n_threads=n_threads)
+                            refined = crf(imgs, masks)
+                            s = skip
+                            inter = np.sum(gt[::s] & refined[::s])
+                            union = np.sum(gt[::s] | refined[::s])
+                            r = inter / max(union, 1)
+                            results.append((params, float(r)))
+                            if best is None or r >= best[1]:
+                                best = (refined, r)
+    results.sort(key=lambda pr: pr[1])
+    return results, best[0]

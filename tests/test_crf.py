@@ -63,3 +63,21 @@ def test_crf_all_background(rng):
     flat = np.full((1, 64, 64), 0.02, np.float32)
     out = _crf(img[None], flat)
     assert out.sum() == 0
+
+
+def test_crf_grid_search(rng):
+    from cgs_tpu.eval.crf import grid_search
+    img, gt = _scene(rng)
+    noisy = np.clip(gt * 0.75 + rng.normal(0, 0.2, gt.shape),
+                    0, 1).astype(np.float32)
+    imgs = np.stack([img] * 3)
+    masks = np.stack([noisy] * 3)
+    gts = np.stack([gt] * 3)
+    results, best = grid_search(imgs, masks, gts,
+                                w1=(22.0, 5.0), gamma=(1.8,),
+                                iters=(5,))
+    assert len(results) == 2
+    # sorted ascending by IoU (main.py:1257-1260)
+    assert results[0][1] <= results[1][1]
+    assert best.shape == gts.shape
+    assert _iou(best, gts) >= results[-1][1] - 1e-9
