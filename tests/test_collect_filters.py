@@ -1,0 +1,71 @@
+"""Trajectory filter + clean_data golden tests (main.py:1317-1327,
+1361-1458)."""
+
+import numpy as np
+
+from cgs_tpu.core.config import Config
+from cgs_tpu.data.collect import begin_filter, clean_data, trunk_filter
+
+
+def test_trunk_filter_drops_post_reward_window():
+    """Frames within 35 steps AFTER a reward are dropped (crown
+    chopping, main.py:1324-1327); the reward frame itself stays."""
+    n = 100
+    pov = np.arange(n)[:, None]
+    reward = np.zeros(n)
+    reward[40] = 1.0
+    p2, r2 = trunk_filter(pov, reward)
+    kept = p2[:, 0]
+    assert 40 in kept                      # reward frame kept
+    for t in range(41, 76):                # 35 following frames dropped
+        assert t not in kept
+    assert 76 in kept and 39 in kept
+
+
+def test_trunk_filter_no_rewards_is_identity():
+    pov = np.arange(50)[:, None]
+    reward = np.zeros(50)
+    p2, r2 = trunk_filter(pov, reward)
+    assert len(p2) == 50
+
+
+def test_begin_filter_prefix():
+    pov = np.arange(100)[:, None]
+    reward = np.zeros(100)
+    reward[30] = 2.0
+    res = begin_filter(pov, reward)
+    assert res is not None
+    p2, r2 = res
+    assert len(p2) == 31 and r2[-1] == 2.0  # up to & incl. first reward
+
+
+def test_begin_filter_skips_long_prefix():
+    reward = np.zeros(2000)
+    reward[1500] = 1.0
+    assert begin_filter(np.zeros((2000, 1)), reward) is None
+
+
+def test_clean_data_chunking(tmp_path, monkeypatch):
+    """100-frame chunks ending 20 before each deduped chop; last 5
+    frames relabeled as reward (main.py:1391-1414)."""
+    monkeypatch.chdir(tmp_path)
+    n = 1000
+    x = np.arange(n, dtype=np.int64)[:, None, None, None] * np.ones(
+        (1, 4, 4, 3), np.int64)
+    y = np.zeros((7, n), np.float32)
+    i = np.arange(n, dtype=np.uint16)  # one long episode
+    chops = [300, 320, 700]            # 320 within 100 of 300 -> deduped
+    for c in chops:
+        y[0, c] = 1.0
+
+    cfg = Config(datasize=123)
+    cx, cy, ci = clean_data(cfg, datadir=str(tmp_path) + "/",
+                            x=x, y=y, i=i)
+    # 2 clean chops (300, 700), each a 100-frame chunk -> 200 frames
+    assert len(cx) == 200
+    # chunk ends at chop-20 (shift), ascending within chunk
+    assert cx[99, 0, 0, 0] == 300 - 20
+    assert cx[199, 0, 0, 0] == 700 - 20
+    # last 5 frames of each chunk relabeled 1 (main.py:1412-1413)
+    assert cy[95:100].sum() == 5
+    assert cy[:95].sum() == 0
