@@ -59,11 +59,15 @@ def _to_torch_w(w: np.ndarray) -> np.ndarray:
 
 def torch_state_to_flax(state: Dict[str, "np.ndarray"],
                         keymap: Dict[str, str]) -> Dict:
-    """torch state_dict (tensors or ndarrays) -> flax params dict."""
+    """torch state_dict (tensors or ndarrays) -> flax params dict.
+
+    Arrays are COPIED: `tensor.numpy()` aliases torch parameter
+    storage, and torch optimizers update parameters in place — a view
+    here would silently track future training steps."""
     out = {}
     for flax_name, torch_name in keymap.items():
-        w = np.asarray(state[f"{torch_name}.weight"])
-        b = np.asarray(state[f"{torch_name}.bias"])
+        w = np.array(state[f"{torch_name}.weight"], copy=True)
+        b = np.array(state[f"{torch_name}.bias"], copy=True)
         out[flax_name] = {"kernel": _to_flax_w(w), "bias": b}
     return out
 

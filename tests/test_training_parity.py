@@ -1,0 +1,120 @@
+"""Training-dynamics parity vs PyTorch (beyond forward parity):
+gradients must agree to float tolerance, and with identical init +
+batches the loss trajectories must stay statistically locked.
+
+Note on tolerances: Adam's update is ~sign(g) while second-moment
+estimates are cold, so ~1e-7 framework-level gradient noise on
+near-zero entries produces sign flips and O(lr) parameter jitter that
+compounds — pointwise trajectory equality past a few steps is not a
+meaningful criterion for ANY two frameworks. Gradients ARE compared
+pointwise; trajectories statistically (SURVEY.md §4 item 2 extended).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cgs_tpu.core.config import Config
+from cgs_tpu.models.critic import Critic
+from cgs_tpu.models.torch_interop import (
+    CRITIC_KEYMAP, flax_to_torch_state, torch_state_to_flax,
+)
+from cgs_tpu.train.losses import build_critic_loss
+from cgs_tpu.train.steps import (
+    init_train_state, make_critic_step, make_optimizer,
+)
+from tests.test_torch_parity import TorchCritic
+
+N_STEPS = 40
+
+
+@pytest.fixture(scope="module")
+def batches(rng):
+    xs = rng.integers(0, 256, (N_STEPS, 16, 64, 64, 3), dtype=np.uint8)
+    ys = rng.random((N_STEPS, 16)).astype(np.float32)
+    return xs, ys
+
+
+@pytest.fixture(scope="module")
+def torch_critic():
+    torch.manual_seed(0)
+    return TorchCritic(dropout=0.0)
+
+
+def test_critic_gradients_match_torch(batches, torch_critic):
+    """d(MSE)/d(params) identical across frameworks (<=1e-6)."""
+    xs, ys = batches
+    tc = torch_critic
+    fparams = torch_state_to_flax(
+        {k: v.numpy() for k, v in tc.state_dict().items()},
+        CRITIC_KEYMAP)
+
+    xb = torch.from_numpy(xs[0].transpose(0, 3, 1, 2)).float() / 255.0
+    yb = torch.from_numpy(ys[0])
+    pred, _ = tc(xb)
+    loss = torch.nn.functional.mse_loss(pred.squeeze(), yb)
+    tc.zero_grad()
+    loss.backward()
+    tgrads = {k: v.grad.numpy() for k, v in
+              zip(tc.state_dict().keys(), tc.parameters())}
+
+    cfg = Config(shift=0, dropout=0.0)
+    critic = Critic(dropout=0.0)
+    loss_fn = build_critic_loss(cfg, critic)
+    x = jnp.asarray(xs[0]).astype(jnp.float32) / 255.0
+    jloss, jgrads = jax.value_and_grad(loss_fn)(
+        fparams, x, jnp.asarray(ys[0]), jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(jloss), float(loss), rtol=1e-5)
+    jgrads_t = flax_to_torch_state(
+        jax.tree.map(np.asarray, jgrads), CRITIC_KEYMAP)
+    for k, tg in tgrads.items():
+        np.testing.assert_allclose(jgrads_t[k], tg, atol=1e-6,
+                                   err_msg=f"grad mismatch: {k}")
+
+
+def test_critic_training_trajectory_statistically_locked(
+        batches, torch_critic):
+    xs, ys = batches
+    tc = torch_critic
+    fparams = torch_state_to_flax(
+        {k: v.numpy() for k, v in tc.state_dict().items()},
+        CRITIC_KEYMAP)
+
+    opti = torch.optim.Adam(tc.parameters())  # defaults (main.py:178)
+    tlosses = []
+    for i in range(N_STEPS):
+        xb = torch.from_numpy(
+            xs[i].transpose(0, 3, 1, 2)).float() / 255.0
+        yb = torch.from_numpy(ys[i])
+        pred, _ = tc(xb)
+        loss = torch.nn.functional.mse_loss(pred.squeeze(), yb)
+        opti.zero_grad()
+        loss.backward()
+        opti.step()
+        tlosses.append(float(loss))
+
+    cfg = Config(shift=0, dropout=0.0)
+    critic = Critic(dropout=0.0)
+    tx = make_optimizer()
+    state = init_train_state({"critic": fparams}, tx)
+    step = make_critic_step(cfg, critic, tx)
+    jlosses = []
+    for i in range(N_STEPS):
+        state, loss = step(state, jnp.asarray(xs[i]),
+                           jnp.asarray(ys[i]), jax.random.PRNGKey(i))
+        jlosses.append(float(loss))
+
+    t = np.asarray(tlosses)
+    j = np.asarray(jlosses)
+    # step 0: pre-update forward -> tight
+    np.testing.assert_allclose(j[0], t[0], rtol=1e-4)
+    # first few steps stay close before Adam noise amplification
+    np.testing.assert_allclose(j[:5], t[:5], rtol=0.02)
+    # whole trajectory statistically locked
+    rel = np.abs(j - t) / np.maximum(t, 1e-8)
+    assert rel.mean() < 0.05, f"mean rel loss gap {rel.mean():.4f}"
+    assert abs(j.mean() - t.mean()) / t.mean() < 0.03
