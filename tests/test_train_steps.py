@@ -155,3 +155,17 @@ def test_l2_sparsity_branch(rng):
     _, metrics = make_masker_step(cfg, critic, masker, tx)(
         state, *batch(rng), KEY)
     assert float(metrics["norm"]) > 0.0
+
+
+def test_threshrew_bce_branch(rng):
+    """--threshrew: labels binarized + BCE replaces MSE
+    (main.py:120-122,192-195)."""
+    cfg = Config(shift=0, dropout=0.0, threshrew=0.5)
+    critic, _, params = build(cfg)
+    tx = make_optimizer()
+    state = init_train_state({"critic": params["critic"]}, tx)
+    step = make_critic_step(cfg, critic, tx)
+    a, _, _ = batch(rng)
+    y = (rng.random(8) > 0.5).astype(np.float32)
+    state, loss = step(state, a, jnp.asarray(y), KEY)
+    assert np.isfinite(float(loss)) and float(loss) > 0
