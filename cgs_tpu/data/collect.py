@@ -60,7 +60,28 @@ def cache_path(datadir: str, envname: str, mode: str, datasize: int,
                         f"{envname}-{mode}-{datasize}-[{gammas}].pickle")
 
 
+def _digest(path: str) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as fp:
+        for chunk in iter(lambda: fp.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def load_cache(path: str):
+    """Load a gzip-pickle cache, verifying the sha256 sidecar when one
+    exists (integrity check, SURVEY.md §5 'failure detection' —
+    reference caches have no corruption detection). Reference-written
+    caches without a sidecar load as-is."""
+    sidecar = path + ".sha256"
+    if os.path.exists(sidecar):
+        expect = open(sidecar).read().strip()
+        actual = _digest(path)
+        if actual != expect:
+            raise RuntimeError(
+                f"dataset cache corrupted: {path} sha256 {actual} != "
+                f"recorded {expect}; delete the cache to regenerate")
     with gzip.open(path, "rb") as fp:
         return pickle.load(fp)
 
@@ -69,6 +90,8 @@ def save_cache(path: str, x, y, i) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with gzip.GzipFile(path, "wb") as fp:
         pickle.dump((x, y, i), fp)
+    with open(path + ".sha256", "w") as fp:
+        fp.write(_digest(path))
 
 
 def collect_data(cfg, datadir: str = "runs/data/straight/",
