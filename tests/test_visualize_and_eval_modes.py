@@ -76,3 +76,25 @@ def test_dead_flags_accepted():
     cfg = parse_args(["-grabcut", "-soft", "--lr", "0.1", "--runs", "3",
                       "-clippify"])
     assert cfg.runs == 3  # parsed, functional only via sandbox.multirun
+
+
+def test_process_with_crf_outputs(handler, workdir):
+    """-process -crf: the native CRF path through the CLI surface
+    writes crf-mask PNGs (main.py:1169-1172,1220-1223)."""
+    src = workdir / "crfimgs"
+    src.mkdir(exist_ok=True)
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                     dtype=np.uint8)).save(
+            src / f"c{i}.png")
+    handler.cfg.crf = True
+    handler.cfg.concatenated = False
+    handler.cfg.mask_output_imgs = str(workdir / "crfout")
+    try:
+        out = handler.segment(str(src))
+    finally:
+        handler.cfg.crf = False
+    names = os.listdir(workdir / "crfout")
+    assert any(n.endswith("-crf-mask.png") for n in names)
+    assert len(out["variants"]) == 3  # raw, thresholded, crf
