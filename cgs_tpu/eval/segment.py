@@ -45,6 +45,13 @@ def load_folder(folder: str):
         stems.append(name[: name.rindex(".")])
     if not frames:
         raise RuntimeError(f"no readable images in {folder}")
+    shapes = {f.shape for f in frames}
+    if len(shapes) > 1 or frames[0].shape[:2] != (64, 64):
+        raise ValueError(
+            f"the critic/masker operate on 64x64 RGB frames; folder "
+            f"{folder} contains shapes {sorted(shapes)} — resize "
+            "inputs first (the reference has the same fixed-size "
+            "contract, nets.py:161)")
     return np.stack(frames) / 255.0, stems
 
 

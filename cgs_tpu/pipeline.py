@@ -12,8 +12,9 @@ Throughput design (north-star: >=100k 64x64 frames/s/chip):
     (static shapes — XLA compiles exactly two programs);
   * inputs are dispatched asynchronously ahead of consumption so H2D
     copies overlap device compute;
-  * measured on a v5e-1: ~410k frames/s device-resident at batch 16k
-    (f32), vs the reference's single-digit-k on CPU torch.
+  * measured on a v5e-1: ~604k frames/s device-resident at batch 32k
+    in bf16 (~306k f32), vs the reference's single-digit-k on CPU
+    torch; see RESULTS.md for methodology and the roofline analysis.
 """
 
 from __future__ import annotations
