@@ -135,3 +135,36 @@ def test_pt_roundtrip(tmp_path, frames):
                                       back[name]["kernel"])
         np.testing.assert_array_equal(np.asarray(leaf["bias"]),
                                       back[name]["bias"])
+
+
+def test_northstar_mask_iou_vs_torch(rng):
+    """BASELINE.json north-star: mask IoU >= 0.99 vs the PyTorch
+    reference from the same weights (red-trees/X.npy is stripped from
+    this mirror, so frames come from the synthetic eval set)."""
+    from cgs_tpu.data.synthetic import synthetic_eval_set
+
+    torch.manual_seed(7)
+    tc = TorchCritic().eval()
+    td = TorchDecoder().eval()
+    xu8, _ = synthetic_eval_set(n_frames=256, seed=11)
+    x = (xu8 / 255.0).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        _, tembeds = tc(xt)
+        tmask = td(xt, tembeds).numpy().transpose(0, 2, 3, 1)
+
+    cparams = torch_state_to_flax(
+        {k: v.numpy() for k, v in tc.state_dict().items()},
+        CRITIC_KEYMAP)
+    dparams = torch_state_to_flax(
+        {k: v.numpy() for k, v in td.state_dict().items()},
+        DECODER_KEYMAP)
+    xj = jax.numpy.asarray(x)
+    _, embeds = Critic().apply({"params": cparams}, xj, collect=True)
+    mask = np.asarray(UnetDecoder().apply({"params": dparams}, xj,
+                                          embeds))
+    for thresh in (0.05, 0.5):  # eval + binarymask defaults
+        a = mask > thresh
+        b = tmask > thresh
+        iou = (a & b).sum() / max((a | b).sum(), 1)
+        assert iou >= 0.99, f"IoU {iou} at thresh {thresh}"
