@@ -166,5 +166,8 @@ def test_northstar_mask_iou_vs_torch(rng):
     for thresh in (0.05, 0.5):  # eval + binarymask defaults
         a = mask > thresh
         b = tmask > thresh
-        iou = (a & b).sum() / max((a | b).sum(), 1)
+        union = (a | b).sum()
+        # identical empty masks are perfect agreement
+        iou = (a & b).sum() / union if union else 1.0
         assert iou >= 0.99, f"IoU {iou} at thresh {thresh}"
+        assert a.sum() == b.sum()  # same pixel count either way
