@@ -136,6 +136,7 @@ class Config:
     synthetic_data: bool = False  # use the synthetic fixture dataset
     contrastive_min: int = 500   # min pos/neg frames (main.py:281)
     profile: str = ""            # xplane trace dir (jax.profiler)
+    crf_rescale: bool = False    # per-frame mask rescale before CRF
     debug_nan: bool = False      # per-chunk NaN/Inf guards
     orbax: bool = False          # full-train-state ckpt + resume
 
@@ -249,6 +250,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", type=str, default="")
     p.add_argument("-debug_nan", action="store_true")
     p.add_argument("-orbax", action="store_true")
+    p.add_argument("-crf_rescale", action="store_true")
     return p
 
 

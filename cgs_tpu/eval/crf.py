@@ -71,12 +71,14 @@ class DenseCRF:
     their (thresholded) input mask."""
 
     def __init__(self, params: Optional[dict] = None, skip: int = 1,
-                 debug_dir: Optional[str] = None, n_threads: int = 0):
+                 debug_dir: Optional[str] = None, n_threads: int = 0,
+                 rescale: bool = False):
         self.lib = _load_lib()
         self.params = dict(DEFAULT_PARAMS, **(params or {}))
         self.skip = skip
         self.debug_dir = debug_dir
         self.n_threads = n_threads  # 0 = hardware concurrency
+        self.rescale = rescale
 
     def refine_frame(self, img_u8: np.ndarray,
                      mask: np.ndarray) -> np.ndarray:
@@ -106,6 +108,17 @@ class DenseCRF:
         if masks.ndim == 4:  # (N,1,H,W) or (N,H,W,1)
             masks = masks.squeeze(1) if masks.shape[1] == 1 \
                 else masks.squeeze(-1)
+        if self.rescale:
+            # -crf_rescale (framework extension, default off): L1
+            # sparsity can push in-mask confidence below the 0.5
+            # decision boundary the CRF unaries imply, collapsing
+            # refinement; rescale each frame's peak toward 0.9 without
+            # touching already-confident masks
+            peak = masks.max(axis=(1, 2), keepdims=True)
+            factor = np.where(peak > 1e-6,
+                              np.maximum(0.9 / np.maximum(peak, 1e-6),
+                                         1.0), 1.0)
+            masks = np.clip(masks * factor, 0.0, 1.0)
         refined = masks.copy()
         sel = np.arange(0, len(masks), self.skip)
         sub = masks[sel]

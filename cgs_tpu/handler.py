@@ -374,7 +374,7 @@ class Handler:
             return None
         try:
             from cgs_tpu.eval.crf import DenseCRF
-            return DenseCRF()
+            return DenseCRF(rescale=self.cfg.crf_rescale)
         except Exception as e:
             print(f"[cgs-tpu] CRF unavailable ({e}); skipping "
                   "refinement (the reference ships with its pydensecrf "

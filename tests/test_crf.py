@@ -81,3 +81,21 @@ def test_crf_grid_search(rng):
     assert results[0][1] <= results[1][1]
     assert best.shape == gts.shape
     assert _iou(best, gts) >= results[-1][1] - 1e-9
+
+
+def test_crf_rescale_rescues_underconfident_masks(rng):
+    """-crf_rescale: a correct-but-faint mask (peak < 0.5) collapses
+    under plain CRF (unaries favor background everywhere); rescaling
+    the per-frame peak to 0.9 recovers the object."""
+    from cgs_tpu.eval.crf import DenseCRF
+    img, gt = _scene(rng)
+    faint = gt.astype(np.float32) * 0.35   # confident shape, low value
+    plain = DenseCRF()(img[None], faint[None])[0]
+    rescued = DenseCRF(rescale=True)(img[None], faint[None])[0]
+    assert plain.sum() == 0                # collapses
+    assert _iou(rescued, gt) > 0.9         # recovered
+    # confident masks are untouched by the rescale (factor >= 1 only)
+    conf = gt.astype(np.float32) * 0.95
+    a = DenseCRF()(img[None], conf[None])[0]
+    b = DenseCRF(rescale=True)(img[None], conf[None])[0]
+    np.testing.assert_array_equal(a, b)
