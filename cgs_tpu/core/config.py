@@ -26,11 +26,11 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 # Flags the reference parses but never reads anywhere in main.py
-# (grep-verified; see SURVEY.md §5 "Config / flag system").
+# (grep-verified per flag: zero `args.<flag>` reads; note `cleaned`
+# and `viscritic` ARE read — main.py:739,1567 — and must not be here).
 DEAD_FLAGS = (
     "lr", "soft", "grabcut", "higheval", "debug", "clippify", "freeze",
     "trunk", "runs", "visdataset", "softmask", "false", "clossfak",
-    "cleaned", "viscritic",
 )
 
 

@@ -343,6 +343,18 @@ class Handler:
                 self.save_models([MASKER])
             if ckpt_mgr is not None:
                 ckpt_mgr.save(epoch + 1, state)
+            if cfg.directeval:
+                # per-epoch eval + best-IoU tracking — the sandbox's
+                # live feature (TrainHandler.py:1077-1080; dead behind
+                # `if False:` in main.py:568-572), surfaced here behind
+                # the -directeval flag
+                for name in trained:
+                    self.params[name] = state.params[name]
+                epoch_ious = self.eval()
+                if epoch_ious[0] > self.ious[0]:
+                    self.ious = tuple(epoch_ious[:2]) if \
+                        len(epoch_ious) > 1 else (epoch_ious[0], 0.0)
+                    self.bestepoch = epoch
 
         if ckpt_mgr is not None:
             ckpt_mgr.wait()
@@ -392,8 +404,11 @@ class Handler:
         result = evaluate(cfg, pipe, x, gt, crf_fn=self._crf_fn(),
                           best_iou=self.ious[0], out_dir=out_dir)
         ious = result["ious"]
-        if ious[0] > self.ious[0]:
-            self.ious = (ious[0], self.ious[1])
+        # NOTE: the best-tracker update is intentionally absent here —
+        # the reference has it commented out (main.py:1018), so every
+        # eval with iou > self.ious[0] re-renders the comparison video.
+        # Per-epoch best tracking lives in segmentation_training behind
+        # -directeval (TrainHandler.py:1077-1080).
         print("\nRESULTS", ious)
         self.metrics.write("eval", iou=ious[0],
                            all_ious=[float(v) for v in ious])

@@ -23,6 +23,11 @@ def iou_counts(a: Array, b: Array):
 
 
 def iou(a: Array, b: Array) -> float:
-    """IoU rounded to 3 decimals, parity with main.py:1265-1270."""
+    """IoU rounded to 3 decimals, parity with main.py:1265-1270.
+
+    union=0 (both masks empty — e.g. folder eval's all-zero GT plus an
+    empty predicted hard mask, main.py:917-918) returns 0.0 instead of
+    the reference's ZeroDivisionError (SURVEY.md §7.3 quirk policy:
+    reproduce behavior, not crashes)."""
     inter, union = iou_counts(a, b)
-    return round(float(inter) / float(union), 3)
+    return round(float(inter) / float(max(int(union), 1)), 3)

@@ -20,12 +20,20 @@ def mse(pred: Array, target: Array) -> Array:
     return jnp.mean((pred - target) ** 2)
 
 
+def _clamped_log(x: Array) -> Array:
+    """log(x) clamped at -100 like torch F.binary_cross_entropy, with
+    a zero (not NaN) gradient at x == 0 (the clamp is active there)."""
+    safe = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, jnp.maximum(jnp.log(safe), -100.0), -100.0)
+
+
 def bce(pred: Array, target: Array) -> Array:
-    """F.binary_cross_entropy on sigmoid outputs (main.py:193,381),
-    with torch's clamp of the log terms at -100."""
-    eps = 1e-12
-    logp = jnp.maximum(jnp.log(pred + eps), -100.0)
-    lognp = jnp.maximum(jnp.log1p(-pred + eps), -100.0)
+    """F.binary_cross_entropy on sigmoid outputs (main.py:193,381).
+    torch clamps the log terms at -100 (no epsilon inside the log —
+    an eps would floor them at ~-27.6 and drift loss/grads from torch
+    when the sigmoid saturates in -threshrew runs)."""
+    logp = _clamped_log(pred)
+    lognp = _clamped_log(1.0 - pred)
     return -jnp.mean(target * logp + (1.0 - target) * lognp)
 
 

@@ -119,3 +119,10 @@ def test_saliency_topk_norm(rng):
     expect[expect >= 1] = 1
     np.testing.assert_allclose(np.asarray(soft), expect, rtol=1e-5)
     assert hard.shape == sal.shape
+
+
+def test_iou_union_zero_returns_zero():
+    """Both masks empty (folder eval's zero GT + empty prediction):
+    0.0, not the reference's ZeroDivisionError (quirk policy)."""
+    z = jnp.zeros((4, 4), bool)
+    assert iou(z, z) == 0.0

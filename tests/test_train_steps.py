@@ -169,3 +169,23 @@ def test_threshrew_bce_branch(rng):
     y = (rng.random(8) > 0.5).astype(np.float32)
     state, loss = step(state, a, jnp.asarray(y), KEY)
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_bce_matches_torch_clamp_at_saturation():
+    """bce() reproduces torch F.binary_cross_entropy's -100 log clamp:
+    saturated sigmoid outputs (exact 0/1 in f32) yield loss 100 per
+    wrong element, not inf/NaN, and gradients stay finite."""
+    import torch
+    import torch.nn.functional as F
+
+    from cgs_tpu.train.losses import bce
+
+    pred = np.asarray([0.0, 1.0, 0.5, 1e-20, 1.0 - 1e-7], np.float32)
+    target = np.asarray([1.0, 0.0, 0.5, 1.0, 0.0], np.float32)
+    ours = float(bce(jnp.asarray(pred), jnp.asarray(target)))
+    theirs = float(F.binary_cross_entropy(torch.tensor(pred),
+                                          torch.tensor(target)))
+    assert abs(ours - theirs) < 1e-3 * max(1.0, theirs), (ours, theirs)
+    g = jax.grad(lambda p: bce(p, jnp.asarray(target)))(
+        jnp.asarray(pred))
+    assert np.all(np.isfinite(np.asarray(g)))

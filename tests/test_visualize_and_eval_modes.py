@@ -98,3 +98,15 @@ def test_process_with_crf_outputs(handler, workdir):
     names = os.listdir(workdir / "crfout")
     assert any(n.endswith("-crf-mask.png") for n in names)
     assert len(out["variants"]) == 3  # raw, thresholded, crf
+
+
+def test_live_flags_not_warned_dead(capsys):
+    """-cleaned and -viscritic are READ by the reference
+    (main.py:739,1567) — they must not trigger the dead-flag notice."""
+    parse_args(["-cleaned", "-viscritic"])
+    out = capsys.readouterr().out
+    assert "unused" not in out
+
+    parse_args(["-grabcut", "--runs", "3"])
+    out = capsys.readouterr().out
+    assert "unused" in out and "grabcut" in out and "runs" in out
