@@ -14,9 +14,14 @@ from typing import Optional
 
 from cgs_tpu.core.config import parse_args
 from cgs_tpu.handler import CRITIC, MASKER, Handler
+from cgs_tpu.parallel.multihost import ensure_initialized
 
 
 def main(argv: Optional[list] = None) -> Handler:
+    # multi-host topologies (no-op on a single host): jax.distributed
+    # must come up before the first backend query so every process
+    # sees the global device set (SURVEY.md §5)
+    ensure_initialized()
     cfg = parse_args(argv)
     handler = Handler(cfg)
 

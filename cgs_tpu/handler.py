@@ -33,7 +33,10 @@ from cgs_tpu.eval.harness import evaluate, load_eval_set
 from cgs_tpu.eval.segment import segment_folder
 from cgs_tpu.models.critic import Critic
 from cgs_tpu.models.decoder import UnetDecoder
-from cgs_tpu.parallel.mesh import local_mesh_or_none
+from cgs_tpu.parallel.mesh import (
+    index_sharding, local_mesh_or_none, replicated_sharding,
+)
+from cgs_tpu.parallel.multihost import is_primary
 from cgs_tpu.pipeline import MaskPipeline
 from cgs_tpu.train.checkpoints import load_model_pt, save_model_pt
 from cgs_tpu.train.contrastive import (
@@ -63,6 +66,7 @@ class Handler:
         self.rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.mesh = local_mesh_or_none(cfg)
+        self.primary = is_primary()  # host 0 owns artifacts/ckpts
         self.ious = (0.0, 0.0)      # best-so-far tracker (main.py:77)
         self.bestepoch = 0
 
@@ -87,7 +91,7 @@ class Handler:
             SEPCRIT: f"{self.save_path}sepcrit-"
                      f"{cfg.critic_fingerprint()}.pt",
         }
-        self.metrics = MetricsWriter(self.path)
+        self.metrics = MetricsWriter(self.path, enabled=self.primary)
         self.profiler = Profiler(cfg.profile or None)
         self.data: Optional[DataBundle] = None
         self.contrastive = None
@@ -97,6 +101,21 @@ class Handler:
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
+
+    def _replicate(self, tree):
+        """Place a pytree replicated over the DP mesh (identity with
+        no mesh). Keeps host-initialized / .pt-loaded params from
+        colliding with mesh-resident batch data inside one jit."""
+        if self.mesh is None:
+            return tree
+        return jax.device_put(tree, replicated_sharding(self.mesh))
+
+    def _put_idx(self, idx) -> jnp.ndarray:
+        """Ship a (steps, batch) index stack; over a mesh the batch
+        axis is sharded on 'data' (parallel/mesh.py:index_sharding)."""
+        if self.mesh is None:
+            return jnp.asarray(idx)
+        return jax.device_put(np.asarray(idx), index_sharding(self.mesh))
 
     def reset_models(self) -> None:
         """Fresh params (main.py:106-111). Initialization runs on the
@@ -133,6 +152,8 @@ class Handler:
         return True
 
     def save_models(self, modelnames: Optional[List[str]] = None) -> None:
+        if not self.primary:      # host 0 owns checkpoints
+            return
         modelnames = modelnames or list(self.params.keys())
         for name in modelnames:
             print("saving:", self.save_paths[name])
@@ -142,10 +163,15 @@ class Handler:
     # -- data --------------------------------------------------------
 
     def load_data(self) -> None:
-        """collect -> split -> device (main.py:113-134)."""
+        """collect -> split -> device (main.py:113-134). Over a DP
+        mesh the frame banks are replicated per chip; the per-step
+        index stacks are what gets sharded (parallel/mesh.py)."""
         x, y, i = collect_data(self.cfg)
         self.data = DataBundle.from_arrays(x, y, i, self.cfg)
-        self.data.to_device(self.cfg)
+        self.data.to_device(
+            self.cfg,
+            sharding=replicated_sharding(self.mesh)
+            if self.mesh is not None else None)
         print("dataset shapes", x.shape, y.shape,
               self.data.x_train.shape, self.data.y_train.shape)
 
@@ -159,14 +185,17 @@ class Handler:
             return
 
         result_path = self.path + "critic/"
-        os.makedirs(result_path, exist_ok=True)
-        write_log_header(result_path, cfg)
+        if self.primary:
+            os.makedirs(result_path, exist_ok=True)
+            write_log_header(result_path, cfg)
         if cfg.directeval:                    # main.py:179-180
             self.eval()
 
         tx = make_optimizer()
-        state = init_train_state({CRITIC: self.params[CRITIC]}, tx)
-        chunk_fn = make_critic_chunk(cfg, self.critic, tx)
+        state = self._replicate(
+            init_train_state({CRITIC: self.params[CRITIC]}, tx))
+        chunk_fn = make_critic_chunk(cfg, self.critic, tx,
+                                     mesh=self.mesh)
         viz_fn = make_critic_viz_fn(cfg, self.critic)
         loader = EpochLoader(self.data.n_train, cfg.batch_size,
                              self.rng)
@@ -182,6 +211,7 @@ class Handler:
             restored = ckpt_mgr.restore(state)
             if restored is not None:
                 start_epoch, state, _ = restored
+                state = self._replicate(state)
                 print(f"orbax resume: critic epoch {start_epoch}")
 
         llog: List[float] = []
@@ -193,7 +223,7 @@ class Handler:
             for idx in loader.chunks(cfg.visevery):
                 with self.profiler.annotate("critic_chunk"):
                     state, losses = chunk_fn(state, x_dev, y_dev,
-                                             jnp.asarray(idx),
+                                             self._put_idx(idx),
                                              self._next_key())
                 losses = np.asarray(losses)
                 if cfg.debug_nan:
@@ -202,16 +232,17 @@ class Handler:
                 llog.extend(losses.tolist())
                 print(f"critic e{epoch + 1} b{b_idx} "
                       f"{losses[-1]:.5f}", end="\r")
-                # annotated strip at the chunk boundary (main.py:204)
-                xb, yb, pred = viz_fn(state.params, x_dev, y_dev,
-                                      jnp.asarray(idx[0]),
-                                      self._next_key())
-                annotate_strip(
-                    [np.asarray(xb)],
-                    [np.asarray(yb).tolist(),
-                     np.asarray(pred).tolist()],
-                    result_path + f"e{epoch}_b{b_idx}.png",
-                    row_offset=33)
+                if self.primary:
+                    # annotated strip at chunk boundary (main.py:204)
+                    xb, yb, pred = viz_fn(state.params, x_dev, y_dev,
+                                          jnp.asarray(idx[0]),
+                                          self._next_key())
+                    annotate_strip(
+                        [np.asarray(xb)],
+                        [np.asarray(yb).tolist(),
+                         np.asarray(pred).tolist()],
+                        result_path + f"e{epoch}_b{b_idx}.png",
+                        row_offset=33)
                 self.metrics.write("critic_loss", step=int(state.step),
                                    loss=float(losses.mean()))
                 b_idx += len(idx)
@@ -219,10 +250,11 @@ class Handler:
             if not (epoch + 1) % cfg.saveevery:   # main.py:228
                 self.params[CRITIC] = state.params[CRITIC]
                 self.save_models([CRITIC])
-            if ckpt_mgr is not None:
+            if ckpt_mgr is not None and self.primary:
                 ckpt_mgr.save(epoch + 1, state)
-            save_loss_plot(result_path + "_loss.png", llog,
-                           ["Train Loss"])
+            if self.primary:
+                save_loss_plot(result_path + "_loss.png", llog,
+                               ["Train Loss"])
         if cfg.profile:
             self.profiler.stop()
         if ckpt_mgr is not None:
@@ -243,20 +275,32 @@ class Handler:
         """Sweep + split + histogram artifacts (main.py:238-312)."""
         cfg = self.cfg
         sets = extract_contrastive_sets(
-            cfg, self.critic, self.params[CRITIC],
+            cfg, self.critic, self._replicate(self.params[CRITIC]),
             self.data.x_train_dev,
             self.data.y_train[cfg.rewidx].astype(np.float32),
             self.rng, min_count=cfg.contrastive_min)
+        if self.mesh is not None:
+            # pos/neg frame banks replicate like the train banks; the
+            # per-step samplers are what gets sharded
+            import dataclasses as _dc
+            sets = _dc.replace(
+                sets, xpos=self._replicate(sets.xpos),
+                ypos=self._replicate(sets.ypos),
+                xneg=self._replicate(sets.xneg),
+                yneg=self._replicate(sets.yneg))
         idx = cfg.rewidx
-        save_histogram(self.path + f"pred_idx{idx}_hist.png",
-                       sets.preds)
-        save_histogram(self.path + f"GT_idx{idx}_hist.png",
-                       self.data.y_train[idx])
-        # count marker file (main.py:274-276)
-        marker = (f"{int(sets.pos_mask.sum())}>{cfg.high_rew_thresh}__"
-                  f"{int(sets.neg_mask.sum())}<{cfg.low_rew_thresh}.txt")
-        with open(self.path + marker, "w") as fp:
-            fp.write("")
+        if self.primary:
+            save_histogram(self.path + f"pred_idx{idx}_hist.png",
+                           sets.preds)
+            save_histogram(self.path + f"GT_idx{idx}_hist.png",
+                           self.data.y_train[idx])
+            # count marker file (main.py:274-276)
+            marker = (f"{int(sets.pos_mask.sum())}"
+                      f">{cfg.high_rew_thresh}__"
+                      f"{int(sets.neg_mask.sum())}"
+                      f"<{cfg.low_rew_thresh}.txt")
+            with open(self.path + marker, "w") as fp:
+                fp.write("")
         self.contrastive = sets
         return sets
 
@@ -265,15 +309,18 @@ class Handler:
         cfg = self.cfg
         sets = self.extract_contrastive_data()
         train_path = self.path + "segment/"
-        os.makedirs(train_path, exist_ok=True)
-        write_log_header(train_path, cfg)
+        if self.primary:
+            os.makedirs(train_path, exist_ok=True)
+            write_log_header(train_path, cfg)
         if cfg.directeval:                    # main.py:337-338
             self.eval()
 
         tx = make_optimizer()
         trained = trained_param_keys(cfg)
-        state = init_train_state(dict(self.params), tx, trained)
-        chunk_fn = make_masker_chunk(cfg, self.critic, self.masker, tx)
+        state = self._replicate(
+            init_train_state(dict(self.params), tx, trained))
+        chunk_fn = make_masker_chunk(cfg, self.critic, self.masker, tx,
+                                     mesh=self.mesh)
         viz_fn = make_masker_viz_fn(cfg, self.critic, self.masker)
 
         start_epoch = 0
@@ -284,6 +331,7 @@ class Handler:
             restored = ckpt_mgr.restore(state)
             if restored is not None:
                 start_epoch, state, _ = restored
+                state = self._replicate(state)
                 print(f"orbax resume: masker epoch {start_epoch}")
 
         k = 32  # contrastive batch (main.py:309)
@@ -299,8 +347,8 @@ class Handler:
                 with self.profiler.annotate("masker_chunk"):
                     state, losses = chunk_fn(
                         state, sets.xpos, sets.ypos, sets.xneg,
-                        sets.yneg, jnp.asarray(h), jnp.asarray(l),
-                        jnp.asarray(c), self._next_key())
+                        sets.yneg, self._put_idx(h), self._put_idx(l),
+                        self._put_idx(c), self._next_key())
                 losses = np.asarray(losses)       # (s, 4)
                 if cfg.debug_nan:
                     nan_guard({"losses": losses,
@@ -310,21 +358,24 @@ class Handler:
                 print(f"masker e{epoch} b{done} replace {r:.5f} "
                       f"inject {i:.5f} norm {nm:.5f} critic {cl:.5f}",
                       end="\r")
-                # 7-row merge viz at the chunk boundary (main.py:466)
-                viz = viz_fn(state.params, sets.xpos, sets.ypos,
-                             sets.xneg, sets.yneg, jnp.asarray(h[0]),
-                             jnp.asarray(l[0]), jnp.asarray(c[0][:2 * k]),
-                             self._next_key())
-                viz = {kk: np.asarray(v) for kk, v in viz.items()}
-                annotate_strip(
-                    [np.zeros_like(viz["a"]), np.zeros_like(viz["a"]),
-                     viz["a"], viz["b"][:2 * k], viz["replaced"],
-                     viz["injected"],
-                     np.repeat(viz["z"], 3, axis=-1)],
-                    [viz["y"], viz["pred"], viz["negpred"],
-                     viz["replacevalue"]]
-                    + ([viz["injectvalue"]] if cfg.inject else []),
-                    train_path + f"e{epoch}_b{done}.png")
+                if self.primary:
+                    # 7-row merge viz at chunk boundary (main.py:466)
+                    viz = viz_fn(state.params, sets.xpos, sets.ypos,
+                                 sets.xneg, sets.yneg,
+                                 jnp.asarray(h[0]), jnp.asarray(l[0]),
+                                 jnp.asarray(c[0][:2 * k]),
+                                 self._next_key())
+                    viz = {kk: np.asarray(v) for kk, v in viz.items()}
+                    annotate_strip(
+                        [np.zeros_like(viz["a"]),
+                         np.zeros_like(viz["a"]),
+                         viz["a"], viz["b"][:2 * k], viz["replaced"],
+                         viz["injected"],
+                         np.repeat(viz["z"], 3, axis=-1)],
+                        [viz["y"], viz["pred"], viz["negpred"],
+                         viz["replacevalue"]]
+                        + ([viz["injectvalue"]] if cfg.inject else []),
+                        train_path + f"e{epoch}_b{done}.png")
                 self.metrics.write(
                     "masker_loss", step=int(state.step),
                     replace=float(losses[:, 0].mean()),
@@ -333,15 +384,17 @@ class Handler:
                     critic=float(losses[:, 3].mean()))
                 done += s
 
-            all_losses = np.concatenate(log_rows, axis=0)
-            save_loss_plot(train_path + "_loss.png", all_losses,
-                           ["replace", "inject", "norm", "live-critic"],
-                           ymin_zero=False)
+            if self.primary:
+                all_losses = np.concatenate(log_rows, axis=0)
+                save_loss_plot(
+                    train_path + "_loss.png", all_losses,
+                    ["replace", "inject", "norm", "live-critic"],
+                    ymin_zero=False)
             if not (epoch + 1) % cfg.saveevery:   # main.py:565
                 for name in trained:
                     self.params[name] = state.params[name]
                 self.save_models([MASKER])
-            if ckpt_mgr is not None:
+            if ckpt_mgr is not None and self.primary:
                 ckpt_mgr.save(epoch + 1, state)
             if cfg.directeval:
                 # per-epoch eval + best-IoU tracking — the sandbox's
@@ -379,7 +432,8 @@ class Handler:
             salience=salience,
             eval_mode=not self.cfg.noevalmode,   # main.py:900-909
             separate=self.cfg.separate,
-            seed=self.cfg.seed)
+            seed=self.cfg.seed,
+            mesh=self.mesh)
 
     def _crf_fn(self):
         if not self.cfg.crf:
@@ -398,6 +452,9 @@ class Handler:
         directory of images against an all-zero GT (reference
         main.py:917-918 semantics)."""
         cfg = self.cfg
+        if not self.primary:      # artifacts are host 0's job
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, visbesteval=False, resimages=False)
         out_dir = f"eval-results/{cfg.name}/"
         x, gt = load_eval_set(cfg, folder=folder)
         pipe = self._pipeline(salience=cfg.salience)

@@ -42,6 +42,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def index_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (steps, batch) index stacks: the scan axis stays
+    whole, the batch axis splits over 'data'. The device-resident
+    frame banks are replicated; sharding the per-step gather indices
+    makes every downstream tensor of the train step batch-sharded, so
+    XLA inserts the gradient all-reduce over ICI (the
+    replicate-the-bank / shard-the-indices layout)."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch (or pytree of arrays) sharded over 'data'."""
     sh = data_sharding(mesh)

@@ -48,11 +48,24 @@ class MaskPipeline:
     def __init__(self, critic, masker, params, batch_size: int = 16384,
                  salience: bool = False, eval_mode: bool = True,
                  separate: bool = False, seed: int = 0,
-                 with_checksum: bool = False):
+                 with_checksum: bool = False, mesh=None):
+        """mesh: optional ('data','model') jax Mesh — params are
+        replicated and run() shards each batch over 'data', so
+        multi-chip inference needs no other change (the committed
+        input shardings propagate through the plain jit)."""
         self.critic = critic
         self.masker = masker
-        self.params = params
+        self.mesh = mesh
         self.batch = int(batch_size)
+        if mesh is not None:
+            from cgs_tpu.parallel.mesh import (
+                data_sharding, replicated_sharding,
+            )
+            self._data_sh = data_sharding(mesh)
+            params = jax.device_put(params, replicated_sharding(mesh))
+            ndata = mesh.shape["data"]
+            self.batch = -(-self.batch // ndata) * ndata
+        self.params = params
         self.salience = salience
         self.eval_mode = eval_mode
         self.separate = separate
@@ -122,6 +135,9 @@ class MaskPipeline:
         """Host-array path with chunking, padding, and async dispatch."""
         n = frames_u8.shape[0]
         bs = min(self.batch, n) if n else self.batch
+        if self.mesh is not None:  # keep shards even
+            ndata = self.mesh.shape["data"]
+            bs = -(-bs // ndata) * ndata
         futures = []
         for lo in range(0, n, bs):
             chunk = frames_u8[lo:lo + bs]
@@ -130,9 +146,11 @@ class MaskPipeline:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:],
                                      chunk.dtype)], axis=0)
-            # jnp.asarray starts the H2D copy; dispatch is async, so
-            # the next chunk's copy overlaps this chunk's compute
-            futures.append(self._fn(self.params, jnp.asarray(chunk),
+            # the device_put/asarray starts the H2D copy; dispatch is
+            # async, so the next chunk's copy overlaps this compute
+            dev = jax.device_put(chunk, self._data_sh) \
+                if self.mesh is not None else jnp.asarray(chunk)
+            futures.append(self._fn(self.params, dev,
                                     self._next_key()))
 
         preds, masks, sals = [], [], []

@@ -33,8 +33,25 @@ from cgs_tpu.train.steps import TrainState, trained_param_keys
 Array = jnp.ndarray
 
 
-def make_critic_chunk(cfg, critic,
-                      tx: optax.GradientTransformation) -> Callable:
+def _jit_chunk(chunk: Callable, mesh, n_bank_args: int,
+               n_index_args: int) -> Callable:
+    """jit a scanned-chunk function. With a mesh: state and the
+    device-resident frame banks are replicated, the (S, B) index
+    stacks are sharded over 'data' on the batch axis, and XLA inserts
+    the gradient all-reduce (cgs_tpu/parallel/mesh.py)."""
+    if mesh is None:
+        return jax.jit(chunk, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    idx = NamedSharding(mesh, P(None, "data"))
+    in_shardings = ((repl,) + (repl,) * n_bank_args
+                    + (idx,) * n_index_args + (repl,))
+    return jax.jit(chunk, in_shardings=in_shardings,
+                   donate_argnums=(0,))
+
+
+def make_critic_chunk(cfg, critic, tx: optax.GradientTransformation,
+                      mesh=None) -> Callable:
     """Jitted: (state, x_all u8 (N,...), y_all (N,), idx (S,B) i32,
     key) -> (state, losses (S,)). Runs S optimizer steps on device."""
     loss_fn = build_critic_loss(cfg, critic)
@@ -64,7 +81,7 @@ def make_critic_chunk(cfg, critic,
         state, losses = jax.lax.scan(body, state, (idx, keys))
         return state, losses
 
-    return jax.jit(chunk, donate_argnums=(0,))
+    return _jit_chunk(chunk, mesh, n_bank_args=2, n_index_args=1)
 
 
 def make_critic_viz_fn(cfg, critic) -> Callable:
@@ -89,7 +106,8 @@ def make_critic_viz_fn(cfg, critic) -> Callable:
 
 
 def make_masker_chunk(cfg, critic, masker,
-                      tx: optax.GradientTransformation) -> Callable:
+                      tx: optax.GradientTransformation,
+                      mesh=None) -> Callable:
     """Jitted: (state, xpos, ypos, xneg, yneg, hidx (S,K), lidx (S,K),
     cidx (S,2K), key) -> (state, losses (S,4)).
 
@@ -137,7 +155,7 @@ def make_masker_chunk(cfg, critic, masker,
                                      ((hidx, lidx, cidx), keys))
         return state, losses
 
-    return jax.jit(chunk, donate_argnums=(0,))
+    return _jit_chunk(chunk, mesh, n_bank_args=4, n_index_args=3)
 
 
 def make_masker_viz_fn(cfg, critic, masker) -> Callable:

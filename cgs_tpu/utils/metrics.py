@@ -16,13 +16,21 @@ from typing import Optional
 
 
 class MetricsWriter:
-    def __init__(self, run_dir: str, filename: str = "metrics.jsonl"):
-        os.makedirs(run_dir, exist_ok=True)
-        self.path = os.path.join(run_dir, filename)
-        self._fp = open(self.path, "a", buffering=1)
+    def __init__(self, run_dir: str, filename: str = "metrics.jsonl",
+                 enabled: bool = True):
+        """enabled=False makes write() a no-op and touches no files —
+        non-primary hosts of a multi-host run stay silent."""
+        self.enabled = enabled
+        self._fp = None
         self._t0 = time.time()
+        if enabled:
+            os.makedirs(run_dir, exist_ok=True)
+            self.path = os.path.join(run_dir, filename)
+            self._fp = open(self.path, "a", buffering=1)
 
     def write(self, kind: str, step: Optional[int] = None, **fields):
+        if not self.enabled:
+            return
         rec = {"t": round(time.time() - self._t0, 3), "kind": kind}
         if step is not None:
             rec["step"] = int(step)
@@ -34,7 +42,8 @@ class MetricsWriter:
         self._fp.write(json.dumps(rec) + "\n")
 
     def close(self):
-        self._fp.close()
+        if self._fp is not None:
+            self._fp.close()
 
 
 def write_log_header(run_dir: str, cfg) -> None:
