@@ -67,11 +67,28 @@ def main():
     dt = sorted(times)[1]
     fps = batch / dt
 
+    # host-fed MaskPipeline.run() — the path a real `-process` user
+    # hits (PIL folder -> host numpy -> chunked async H2D -> device).
+    # On this harness the number measures the ~22 MB/s tunnel, not the
+    # chip (each 64x64 RGB frame is 12 KB up + ~20 KB of outputs
+    # down); reported anyway for completeness per VERDICT r1 #6.
+    host_pipe = MaskPipeline(critic, masker,
+                             {"critic": cp, "masker": mp},
+                             batch_size=min(batch, 4096))
+    host_frames = np.asarray(frames[:4096])
+    host_pipe.run(host_frames[:256])  # compile + warm
+    t0 = time.time()
+    host_pipe.run(host_frames)
+    host_fps = host_frames.shape[0] / (time.time() - t0)
+
     print(json.dumps({
         "metric": "process_inference_throughput",
         "value": round(fps, 1),
         "unit": "frames/s/chip (64x64 RGB, critic+masker)",
         "vs_baseline": round(fps / 100000.0, 3),
+        "host_fed_frames_per_sec": round(host_fps, 1),
+        "host_fed_note": "bounded by this harness's ~22MB/s tunnel "
+                         "H2D, not the chip; see RESULTS.md",
     }))
 
 

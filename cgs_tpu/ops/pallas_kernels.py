@@ -1,19 +1,28 @@
-"""Pallas TPU kernels for the hot memory-bound paths.
+"""Pallas TPU kernels for the memory-bound mask paths.
 
-The models here are tiny (~100k params) so the FLOP path is not the
-bottleneck — HBM traffic on the 64x64 frame streams is. These kernels
-fuse the passes XLA cannot see across op boundaries in the host-driven
-inference pipeline:
+Status after measuring each kernel inside its production program on a
+real v5e (round 2; batch 32768 inference / 100-step scanned masker
+chunk, median of 3):
 
-  * `normalize_u8`   — uint8 frame ingest -> f32/255 in one pass
-                       (reference does `.float() / 255.0` on host-fed
-                       tensors, main.py:189,360-361);
-  * `merge_pair`     — BOTH counterfactual merges (replace + inject,
-                       main.py:395,406) in a single read of A, B, Z:
-                       2 outputs for 3 inputs instead of 2x(3 in/1 out);
-  * `threshold_iou`  — mask thresholding (main.py:964) fused with the
-                       IoU partial-sum reduction (main.py:1267-1268),
-                       so hard masks never round-trip to HBM.
+  * `threshold_iou`  — WIRED (eval/harness.py:_mask_iou): mask
+                       thresholding (main.py:964) fused with the IoU
+                       partial-sum reduction (main.py:1267-1268); hard
+                       masks never materialize in HBM, and the
+                       (inter, union) pair psum-reduces across chips.
+  * `normalize_u8`   — NOT wired: measured 0.76x the XLA path
+                       (568k -> 430k frames/s). XLA fuses the
+                       uint8->f32/255 ingest into the first conv; a
+                       standalone kernel forces the f32 frames through
+                       an HBM round-trip. Kept (with tests) as the
+                       counter-example: don't hand-schedule what XLA
+                       already fuses.
+  * `merge_pair` / `merge_pair_bwd` — NOT wired by default: measured
+                       0.96x inside the scanned masker train step
+                       (629 -> 603 steps/s) — the merges fuse into the
+                       adjacent critic convs anyway. Available behind
+                       `build_masker_loss(pallas_merge=True)` with a
+                       custom VJP (ops/merge.py:merge_both),
+                       value+grad parity-tested against the jnp path.
 
 Every kernel has an interpret-mode fallback so the same code paths run
 in the CPU test mesh. Frames are handled flattened to (N, F) with F a
@@ -45,7 +54,9 @@ def _cdiv(a: int, b: int) -> int:
 # ---------------------------------------------------------------------
 
 def _normalize_kernel(u8_ref, out_ref):
-    out_ref[:] = u8_ref[:].astype(jnp.float32) * (1.0 / 255.0)
+    # Mosaic has no uint8->f32 cast; widen through int32 first
+    x = u8_ref[:].astype(jnp.int32).astype(jnp.float32)
+    out_ref[:] = x * (1.0 / 255.0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -103,6 +114,42 @@ def merge_pair(a: Array, b: Array, z: Array, block_n: int = 64):
         out_specs=(spec, spec),
         interpret=_interpret(),
     )(a, b, z)
+
+
+def _merge_bwd_kernel(a_ref, b_ref, z_ref, gr_ref, gi_ref,
+                      da_ref, db_ref, dz_ref):
+    a = a_ref[:]
+    b = b_ref[:]
+    z = z_ref[:]
+    gr = gr_ref[:]
+    gi = gi_ref[:]
+    keep = 1.0 - z
+    da_ref[:] = gr * keep + gi * z
+    db_ref[:] = gr * z + gi * keep
+    dz_ref[:] = (gr - gi) * (b - a)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def merge_pair_bwd(a: Array, b: Array, z: Array, gr: Array, gi: Array,
+                   block_n: int = 64):
+    """Fused VJP of `merge_pair`: one read of (a, b, z, grads) for all
+    three cotangents (da, db, dz-pre-channel-sum). Shapes as in
+    `merge_pair`."""
+    n, f = a.shape
+    assert f % 128 == 0
+    block_n = min(block_n, n)
+    grid = (_cdiv(n, block_n),)
+    spec = pl.BlockSpec((block_n, f), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _merge_bwd_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((n, f), jnp.float32)
+                        for _ in range(3)),
+        grid=grid,
+        in_specs=[spec] * 5,
+        out_specs=(spec, spec, spec),
+        interpret=_interpret(),
+    )(a, b, z, gr, gi)
 
 
 def broadcast_mask(z: Array, channels: int = 3) -> Array:

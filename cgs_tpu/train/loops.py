@@ -114,6 +114,8 @@ def make_masker_chunk(cfg, critic, masker,
     Batch assembly parity (main.py:344-361): A = [pos[h] || neg[l]],
     Y = [ypos[h] || yneg[l]] at row rewidx, B = neg[c]; only A gets
     the shift augmentation."""
+    # plain jnp merges: measured faster than the fused Pallas pair
+    # (XLA fuses them into the critic convs; see ops/pallas_kernels.py)
     loss_fn = build_masker_loss(cfg, critic, masker)
     use_shift = bool(cfg.shift)
     max_shift = int(cfg.shift)

@@ -11,7 +11,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from cgs_tpu.ops.merge import inject_merge, replace_merge
+from cgs_tpu.ops.merge import inject_merge, merge_both, replace_merge
 
 Array = jnp.ndarray
 
@@ -56,10 +56,14 @@ def build_critic_loss(cfg, critic):
     return loss_fn
 
 
-def build_masker_loss(cfg, critic, masker):
+def build_masker_loss(cfg, critic, masker, pallas_merge: bool = False):
     """(trainable, constant, a f32, y, b f32, dropout_key) ->
     (loss, aux) where aux carries the per-term metrics and the
-    tensors the reference visualizes (main.py:364-429,466-530)."""
+    tensors the reference visualizes (main.py:364-429,466-530).
+
+    pallas_merge: compute both counterfactual merges (and their VJP)
+    with the fused Pallas kernel pair (ops/merge.py:merge_both) —
+    callers gate it via pallas_merge_enabled()."""
     live = bool(cfg.live)
     inject = bool(cfg.inject)
     separate = bool(cfg.separate)
@@ -97,7 +101,11 @@ def build_masker_loss(cfg, critic, masker):
         z = masker.apply({"params": p["masker"]}, a, embeds)
         aux["z"] = z
 
-        replaced = replace_merge(a, b, z)  # main.py:395
+        if pallas_merge and inject:
+            replaced, injected = merge_both(a, b, z)  # main.py:395,406
+        else:
+            replaced = replace_merge(a, b, z)  # main.py:395
+            injected = inject_merge(a, b, z) if inject else None
         replacevalue = apply_critic(p["critic"], replaced,
                                     k[3]).squeeze(-1)
         replaceloss = mse(replacevalue, negpred)  # main.py:400
@@ -106,7 +114,6 @@ def build_masker_loss(cfg, critic, masker):
         aux["replacevalue"] = replacevalue
 
         if inject:  # main.py:405-413
-            injected = inject_merge(a, b, z)
             injectvalue = apply_critic(p["critic"], injected,
                                        k[4]).squeeze(-1)
             injectloss = mse(injectvalue, jax.lax.stop_gradient(pred))

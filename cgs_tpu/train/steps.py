@@ -106,6 +106,8 @@ def make_masker_step(cfg, critic, masker,
     (state, a_u8 (2K,...), y (2K,), b_u8 (2K,...), key) ->
     (state, metrics dict). a is [K high || K low] frames (main.py:350),
     b is 2K contrast-negative frames."""
+    # plain jnp merges: measured faster than the fused Pallas pair
+    # (XLA fuses them into the critic convs; see ops/pallas_kernels.py)
     loss_fn = build_masker_loss(cfg, critic, masker)
     use_shift = bool(cfg.shift)
     max_shift = int(cfg.shift)

@@ -1,6 +1,7 @@
 """Pallas kernel correctness (interpret mode on the CPU test mesh;
 the same code compiles natively on TPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,3 +55,76 @@ def test_threshold_iou(rng):
     hard = masks > thresh
     assert int(inter) == int(np.sum(hard & gt))
     assert int(union) == int(np.sum(hard | gt))
+
+
+def test_merge_both_matches_jnp_forward_and_grad():
+    """merge_both (fused fwd + custom-VJP bwd) == the plain jnp
+    merges, values and gradients, including the z channel-sum."""
+    from cgs_tpu.ops.merge import (
+        inject_merge, merge_both, replace_merge,
+    )
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.random((6, 64, 64, 3)), jnp.float32)
+    b = jnp.asarray(rng.random((6, 64, 64, 3)), jnp.float32)
+    z = jnp.asarray(rng.random((6, 64, 64, 1)), jnp.float32)
+
+    rep, inj = merge_both(a, b, z)
+    np.testing.assert_allclose(np.asarray(rep),
+                               np.asarray(replace_merge(a, b, z)),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(inj),
+                               np.asarray(inject_merge(a, b, z)),
+                               atol=1e-6)
+
+    w1 = jnp.asarray(rng.random((6, 64, 64, 3)), jnp.float32)
+    w2 = jnp.asarray(rng.random((6, 64, 64, 3)), jnp.float32)
+
+    def loss_pallas(a, b, z):
+        r, i = merge_both(a, b, z)
+        return jnp.sum(r * w1) + jnp.sum(i * w2)
+
+    def loss_jnp(a, b, z):
+        return (jnp.sum(replace_merge(a, b, z) * w1)
+                + jnp.sum(inject_merge(a, b, z) * w2))
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(a, b, z)
+    g_j = jax.grad(loss_jnp, argnums=(0, 1, 2))(a, b, z)
+    for gp, gj in zip(g_p, g_j):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gj),
+                                   atol=1e-4)
+
+
+def test_masker_loss_pallas_merge_matches_plain():
+    """build_masker_loss(pallas_merge=True) == the plain path: same
+    loss and same grads (interpret-mode kernels on CPU)."""
+    from cgs_tpu.core.config import Config
+    from cgs_tpu.models.critic import Critic
+    from cgs_tpu.models.decoder import UnetDecoder
+    from cgs_tpu.train.losses import build_masker_loss
+
+    cfg = Config(shift=0, dropout=0.0).derive()
+    critic = Critic(dropout=0.0)
+    masker = UnetDecoder()
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 64, 64, 3))
+    cp = critic.init({"params": key}, x0, collect=True)["params"]
+    _, em = critic.apply({"params": cp}, x0, collect=True)
+    mp = masker.init({"params": key}, x0, em)["params"]
+    trainable = {"critic": cp, "masker": mp}
+
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.random((8, 64, 64, 3)), jnp.float32)
+    b = jnp.asarray(rng.random((8, 64, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.random(8), jnp.float32)
+
+    plain = build_masker_loss(cfg, critic, masker, pallas_merge=False)
+    fused = build_masker_loss(cfg, critic, masker, pallas_merge=True)
+    (l0, _), g0 = jax.value_and_grad(plain, has_aux=True)(
+        trainable, {}, a, y, b, key)
+    (l1, _), g1 = jax.value_and_grad(fused, has_aux=True)(
+        trainable, {}, a, y, b, key)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    jax.tree.map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), atol=1e-5), g0, g1)
