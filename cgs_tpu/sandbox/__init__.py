@@ -5,7 +5,8 @@ TPU-native equivalents of the runnable ideas in the reference's
 upstream — it imports packages missing from that repo,
 TrainHandler.py:8-9,27,30). Implemented here: TD(0) critic training,
 the water-frame discriminator, gradient-ascent "dream" visualization,
-sarsa frame-pair collection, and multi-seed run aggregation.
+sarsa frame-pair collection, multi-seed run aggregation, per-pixel
+HSV KMeans clustering, and the mask-area self-supervision experiment.
 
 Explicit non-goals (dead upstream, heavy deps): patch-embedding
 GMM/KMeans clustering and UMAP visualization (missing PatchEmbedder
@@ -16,3 +17,5 @@ from cgs_tpu.sandbox.td_critic import make_td_critic_step, sarsa_pairs  # noqa: 
 from cgs_tpu.sandbox.discriminator import make_discriminator_step  # noqa: F401
 from cgs_tpu.sandbox.dream import dream  # noqa: F401
 from cgs_tpu.sandbox.multirun import run_seeds  # noqa: F401
+from cgs_tpu.sandbox.cluster import cluster_frames, kmeans, rgb_to_hsv  # noqa: F401
+from cgs_tpu.sandbox.sum_segm import sum_segm_loss, train_sum_segm  # noqa: F401

@@ -126,3 +126,93 @@ def test_reward_window_and_bank_merge():
     mx, my = merge_negative_bank(x, y, nx)
     assert mx.shape[0] == 14 and my.shape == (7, 14)
     assert (my[:, 10:] == 0).all()
+
+
+def test_rgb_to_hsv_matches_matplotlib():
+    from matplotlib.colors import rgb_to_hsv as mpl_hsv
+
+    from cgs_tpu.sandbox.cluster import rgb_to_hsv
+
+    rng = np.random.default_rng(0)
+    rgb = rng.random((32, 8, 8, 3)).astype(np.float32)
+    ours = np.asarray(rgb_to_hsv(jnp.asarray(rgb)))
+    theirs = mpl_hsv(rgb)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_kmeans_separates_blobs():
+    from cgs_tpu.sandbox.cluster import kmeans
+
+    rng = np.random.default_rng(1)
+    a = rng.normal((0, 0), 0.05, (200, 2))
+    b = rng.normal((1, 1), 0.05, (200, 2))
+    pts = jnp.asarray(np.concatenate([a, b]), jnp.float32)
+    cents, labels = kmeans(pts, 2, iters=20)
+    labels = np.asarray(labels)
+    # each blob lands in exactly one cluster
+    assert len(set(labels[:200])) == 1 and len(set(labels[200:])) == 1
+    assert labels[0] != labels[200]
+
+
+def test_cluster_frames_finds_tree_cluster(tmp_path):
+    """Frames with a green box inside the hand treemask on reward
+    frames: the green pixel cluster must be the argmax target
+    (TrainHandler.py:2066-2110)."""
+    from cgs_tpu.sandbox.cluster import (
+        cluster_frames, default_treemask, save_cluster_layers,
+        save_kmeans,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 12
+    x = np.full((n, 64, 64, 3), 40, np.uint8)   # dark background
+    x += rng.integers(0, 8, x.shape, dtype=np.uint8)
+    y = np.zeros(n)
+    y[:6] = 1
+    # tree = bright green patch inside the box, only on reward frames
+    x[:6, 24:40, 27:37] = (40, 220, 40)
+    res = cluster_frames(x, y, n_clusters=3, seed=0)
+    tree_label = res["labels"][0, 30, 30]       # inside the patch
+    assert res["target"] == tree_label
+    assert res["layers"].shape == (n, 3, 64, 64)
+    assert res["values"].shape == (3,)
+    assert default_treemask().sum() == 21 * 14
+
+    save_kmeans(str(tmp_path / "kmeans.p"), res["centroids"],
+                res["target"])
+    save_cluster_layers(str(tmp_path / "train-3-cluster"),
+                        res["layers"])
+    import gzip as _gz
+    import pickle as _pk
+    cents, target = _pk.load(open(tmp_path / "kmeans.p", "rb"))
+    assert target == res["target"] and cents.shape == (3, 2)
+    with _gz.open(tmp_path / "train-3-cluster", "rb") as fp:
+        layers = _pk.load(fp)
+    assert layers.dtype == np.uint8 and layers.shape == res["layers"].shape
+
+
+def test_sum_segm_loss_and_training():
+    """sum_segm: soft-mask sums are pulled toward the (stop-grad)
+    hard-mask counts with the 10-pixel floor
+    (TrainHandler.py:1935-1939); a few steps reduce the loss."""
+    from cgs_tpu.models.zoo import Unet
+    from cgs_tpu.sandbox.sum_segm import sum_segm_loss, train_sum_segm
+
+    m = jnp.full((2, 8, 8, 1), 0.2)
+    # hard count = 0 -> floor 10; soft sum = 12.8 -> mse (12.8-10)^2
+    np.testing.assert_allclose(float(sum_segm_loss(m)), (12.8 - 10) ** 2,
+                               rtol=1e-5)
+
+    unet = Unet()
+    key = jax.random.PRNGKey(0)
+    params = unet.init({"params": key},
+                       jnp.zeros((2, 64, 64, 3)))["params"]
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (64, 64, 64, 3), dtype=np.uint8)
+    params, losses = train_sum_segm(unet, params, x, steps=12,
+                                    batch=8, rng=rng, chunk_steps=6)
+    assert np.isfinite(losses).all()
+    # the objective is self-referential (the hard-count target moves
+    # with the mask), so it spikes off the fresh init before settling;
+    # assert the post-transient tail descends
+    assert np.mean(losses[-3:]) < np.mean(losses[2:5])
