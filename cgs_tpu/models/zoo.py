@@ -528,3 +528,24 @@ class ResNetCritic(nn.Module):
         h = feats.reshape((feats.shape[0], -1))
         h = nn.relu(_dense(256, 512 * 2 * 2, "fc0")(h))
         return _dense(1, 256, "fc1")(h)
+
+
+class Printer(nn.Module):
+    """Shape-printing identity (nets.py:10-16). Traced once under jit,
+    so the print uses jax.debug-free host print at trace time — same
+    debugging purpose, jit-safe."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        print(x.shape)
+        return x
+
+
+class Pass(nn.Module):
+    """Identity module (nets.py:215-220) — the reference's stand-in
+    when a Sequential slot needs a no-op (e.g. pooling='none',
+    nets.py:227)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return x

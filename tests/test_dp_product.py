@@ -162,3 +162,31 @@ def test_masker_chunk_dp_matches_single():
         lambda s, d: np.testing.assert_allclose(
             np.asarray(s), np.asarray(d), atol=1e-4),
         ref_state.params, dp_state.params)
+
+
+def test_pipeline_mesh_inference_matches_plain():
+    """MaskPipeline with a mesh (params replicated, batches sharded
+    over 'data') == plain single-device inference, same params."""
+    from cgs_tpu.models.critic import Critic
+    from cgs_tpu.models.decoder import UnetDecoder
+    from cgs_tpu.parallel.mesh import make_mesh
+    from cgs_tpu.pipeline import MaskPipeline
+
+    key = jax.random.PRNGKey(0)
+    critic, masker = Critic(dropout=0.0), UnetDecoder()
+    x0 = jnp.zeros((2, 64, 64, 3))
+    cp = critic.init({"params": key}, x0, collect=True)["params"]
+    _, em = critic.apply({"params": cp}, x0, collect=True)
+    mp = masker.init({"params": key}, x0, em)["params"]
+    params = {"critic": cp, "masker": mp}
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (40, 64, 64, 3), dtype=np.uint8)
+
+    plain = MaskPipeline(critic, masker, params, batch_size=16)
+    meshed = MaskPipeline(critic, masker, params, batch_size=16,
+                          mesh=make_mesh(n_data=8))
+    a = plain.run(frames)
+    b = meshed.run(frames)   # 16 -> padded to shard-even, ragged tail
+    np.testing.assert_allclose(b.preds, a.preds, atol=1e-5)
+    np.testing.assert_allclose(b.masks, a.masks, atol=1e-5)

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from cgs_tpu.models import zoo
@@ -102,3 +103,16 @@ def test_resnet_critic():
     variables = model.init({"params": KEY}, X)
     out = model.apply(variables, X)
     assert out.shape == (2, 1)
+
+
+def test_printer_and_pass_are_identities(capsys):
+    from cgs_tpu.models.zoo import Pass, Printer
+
+    x = jnp.ones((2, 4, 4, 3))
+    p = Printer()
+    out = p.apply(p.init(jax.random.PRNGKey(0), x), x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    assert "(2, 4, 4, 3)" in capsys.readouterr().out
+    q = Pass()
+    out = q.apply(q.init(jax.random.PRNGKey(0), x), x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
