@@ -6,7 +6,8 @@ upstream — it imports packages missing from that repo,
 TrainHandler.py:8-9,27,30). Implemented here: TD(0) critic training,
 the water-frame discriminator, gradient-ascent "dream" visualization,
 sarsa frame-pair collection, multi-seed run aggregation, per-pixel
-HSV KMeans clustering, and the mask-area self-supervision experiment.
+HSV KMeans clustering, the mask-area self-supervision experiment,
+and the dev reward-discount exploration.
 
 Explicit non-goals (dead upstream, heavy deps): patch-embedding
 GMM/KMeans clustering and UMAP visualization (missing PatchEmbedder
@@ -19,3 +20,4 @@ from cgs_tpu.sandbox.dream import dream  # noqa: F401
 from cgs_tpu.sandbox.multirun import run_seeds  # noqa: F401
 from cgs_tpu.sandbox.cluster import cluster_frames, kmeans, rgb_to_hsv  # noqa: F401
 from cgs_tpu.sandbox.sum_segm import sum_segm_loss, train_sum_segm  # noqa: F401
+from cgs_tpu.sandbox.dev import dev, dev_discount_row, dev_label_matrix  # noqa: F401

@@ -216,3 +216,47 @@ def test_sum_segm_loss_and_training():
     # with the mask), so it spikes off the fresh init before settling;
     # assert the post-transient tail descends
     assert np.mean(losses[-3:]) < np.mean(losses[2:5])
+
+
+def test_dev_discount_rows_match_reference_recursion():
+    """dev's six label variants (TrainHandler.py:3745-3762) against a
+    hand-run of the reference's backward python loop."""
+    from cgs_tpu.sandbox.dev import DEV_SPECS, dev_discount_row
+
+    reward = np.zeros(12, np.float32)
+    reward[[4, 9]] = 1.0
+
+    for gamma, nonrew in DEV_SPECS:
+        if nonrew:
+            ref = ((reward <= 0) * nonrew).astype(np.float64)
+            for i in range(2, len(ref) + 1):
+                last = gamma * ref[-i + 1]
+                cur = ref[-i]
+                ref[-i] = 0 if cur == 0 else cur + last
+        else:
+            ref = reward.astype(np.float64).copy()
+            for i in range(2, len(ref) + 1):
+                ref[-i] = ref[-i] + gamma * ref[-i + 1]
+        ours = dev_discount_row(reward, gamma, nonrew)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dev_artifacts(tmp_path):
+    import gzip as _gz
+    import pickle as _pk
+
+    from cgs_tpu.sandbox.dev import dev
+
+    rng = np.random.default_rng(0)
+    eps = [(rng.random(40) > 0.9).astype(np.float32) for _ in range(6)]
+    p = str(tmp_path / "Treechop-100.pickle")
+    png = str(tmp_path / "dev_hist.png")
+    y = dev(eps, size=100, out_pickle=p, out_png=png)
+    assert y.shape == (7, 100)
+    assert (y[0] == 0).all()          # row 0 untouched (ref quirk)
+    assert (y[4:7] <= 0).all()        # nonrew rows are penalties
+    with _gz.open(p, "rb") as fp:
+        y2 = _pk.load(fp)
+    np.testing.assert_array_equal(y, y2)
+    import os as _os
+    assert _os.path.getsize(png) > 0
