@@ -87,6 +87,12 @@ def load_cache(path: str):
 
 
 def save_cache(path: str, x, y, i) -> None:
+    """Gzip-pickle + sha256 sidecar. Host 0 only: on a multi-host
+    shared filesystem every process collects the (identical, seeded)
+    data in memory, but concurrent writers would race on the file."""
+    from cgs_tpu.parallel.multihost import is_primary
+    if not is_primary():
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with gzip.GzipFile(path, "wb") as fp:
         pickle.dump((x, y, i), fp)

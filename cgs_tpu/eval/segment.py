@@ -56,9 +56,10 @@ def load_folder(folder: str):
 
 
 def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
-                   out_dir: str = None) -> Dict:
+                   out_dir: str = None, write: bool = True) -> Dict:
     """Run inference over a folder and write result PNGs. Returns the
-    variant arrays for testing."""
+    variant arrays for testing. write=False keeps the (SPMD) compute
+    but skips the files — non-primary hosts of a multi-host run."""
     x, stems = load_folder(folder)
     out = pipeline.run((x * 255).astype(np.uint8))
     preds, masks, sal = out.preds, out.masks, out.saliency
@@ -84,6 +85,8 @@ def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
                          .astype(np.float32))
 
     out_dir = out_dir or cfg.mask_output_imgs
+    if not write:
+        return {"preds": preds, "variants": all_m, "stems": stems}
     os.makedirs(out_dir, exist_ok=True)
     for fidx, stem in enumerate(stems):
         rgb = (255 * x[fidx]).astype(np.uint8)

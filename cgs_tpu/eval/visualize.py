@@ -83,8 +83,8 @@ def render_curves_video(path: str, frames: np.ndarray,
 
 
 def visualize(cfg, pipeline, x_test: np.ndarray, y_test_row: np.ndarray,
-              out_dir: str, y_matrix: Optional[np.ndarray] = None
-              ) -> list:
+              out_dir: str, y_matrix: Optional[np.ndarray] = None,
+              write: bool = True) -> list:
     """The -viscritic/-vismasker flow (main.py:736-885): batched
     preds (+masks), then curves / pred-sorted / (GT-sorted if
     --sortidx) videos named from --visname.
@@ -106,14 +106,20 @@ def visualize(cfg, pipeline, x_test: np.ndarray, y_test_row: np.ndarray,
             rows.append(rows[0] * out.masks)
         frames = np.stack(rows, axis=0)
 
+    # `write=False` (non-primary hosts of a multi-host run) skips the
+    # video files but keeps the (SPMD) model compute above
     name = cfg.visname
     paths = [os.path.join(out_dir, f"{name}.mp4")]
-    render_curves_video(paths[0], frames, values)
+    if write:
+        render_curves_video(paths[0], frames, values)
     sorting = np.argsort(values[cfg.sortidx])[::-1]  # main.py:880
     paths.append(os.path.join(out_dir, f"{name}-pred-sorted.mp4"))
-    render_curves_video(paths[1], frames, values, sorting=sorting)
+    if write:
+        render_curves_video(paths[1], frames, values, sorting=sorting)
     if cfg.sortidx:                                  # main.py:882-884
         sorting = np.argsort(values[0])[::-1]
         paths.append(os.path.join(out_dir, f"{name}-GT-sorted.mp4"))
-        render_curves_video(paths[2], frames, values, sorting=sorting)
+        if write:
+            render_curves_video(paths[2], frames, values,
+                                sorting=sorting)
     return paths

@@ -99,15 +99,28 @@ class Handler:
     # -- model/param management ------------------------------------
 
     def _next_key(self):
+        """Per-dispatch RNG key. The key CHAIN stays host-local and
+        per-process deterministic (same seed -> same chain on every
+        process); each dispatched key is re-placed as a global
+        replicated array when meshed."""
         self.key, k = jax.random.split(self.key)
+        if self.mesh is not None:
+            return jax.device_put(np.asarray(k),
+                                  replicated_sharding(self.mesh))
         return k
 
     def _replicate(self, tree):
         """Place a pytree replicated over the DP mesh (identity with
         no mesh). Keeps host-initialized / .pt-loaded params from
-        colliding with mesh-resident batch data inside one jit."""
+        colliding with mesh-resident batch data inside one jit.
+
+        Values round-trip through host numpy first: device_put of a
+        host value onto a multi-process global sharding is the
+        documented way to build global arrays (each process supplies
+        the identical value); a locally-committed jax.Array is not."""
         if self.mesh is None:
             return tree
+        tree = jax.tree.map(np.asarray, tree)
         return jax.device_put(tree, replicated_sharding(self.mesh))
 
     def _put_idx(self, idx) -> jnp.ndarray:
@@ -121,8 +134,10 @@ class Handler:
         """Fresh params (main.py:106-111). Initialization runs on the
         host CPU backend — remote-compiling the tiny init programs
         through a TPU tunnel costs ~45 s for nothing; params migrate
-        to the accelerator on first real use."""
-        with jax.default_device(jax.devices("cpu")[0]):
+        to the accelerator on first real use. local_devices, not
+        devices: in a multi-process run devices("cpu")[0] can be
+        another host's device."""
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             x0 = jnp.zeros((2, 64, 64, 3))
             k1, k2, k3 = jax.random.split(
                 jax.random.PRNGKey(self.cfg.seed), 3)
@@ -232,11 +247,15 @@ class Handler:
                 llog.extend(losses.tolist())
                 print(f"critic e{epoch + 1} b{b_idx} "
                       f"{losses[-1]:.5f}", end="\r")
+                # annotated strip at chunk boundary (main.py:204).
+                # The viz COMPUTE runs on every process (a jit over a
+                # multi-process mesh is SPMD — gating it on one host
+                # would deadlock the others); only the file write is
+                # primary-gated.
+                xb, yb, pred = viz_fn(state.params, x_dev, y_dev,
+                                      np.asarray(idx[0]),
+                                      self._next_key())
                 if self.primary:
-                    # annotated strip at chunk boundary (main.py:204)
-                    xb, yb, pred = viz_fn(state.params, x_dev, y_dev,
-                                          jnp.asarray(idx[0]),
-                                          self._next_key())
                     annotate_strip(
                         [np.asarray(xb)],
                         [np.asarray(yb).tolist(),
@@ -358,13 +377,14 @@ class Handler:
                 print(f"masker e{epoch} b{done} replace {r:.5f} "
                       f"inject {i:.5f} norm {nm:.5f} critic {cl:.5f}",
                       end="\r")
+                # 7-row merge viz at chunk boundary (main.py:466) —
+                # compute on every process (SPMD), write on host 0
+                viz = viz_fn(state.params, sets.xpos, sets.ypos,
+                             sets.xneg, sets.yneg,
+                             np.asarray(h[0]), np.asarray(l[0]),
+                             np.asarray(c[0][:2 * k]),
+                             self._next_key())
                 if self.primary:
-                    # 7-row merge viz at chunk boundary (main.py:466)
-                    viz = viz_fn(state.params, sets.xpos, sets.ypos,
-                                 sets.xneg, sets.yneg,
-                                 jnp.asarray(h[0]), jnp.asarray(l[0]),
-                                 jnp.asarray(c[0][:2 * k]),
-                                 self._next_key())
                     viz = {kk: np.asarray(v) for kk, v in viz.items()}
                     annotate_strip(
                         [np.zeros_like(viz["a"]),
@@ -475,7 +495,8 @@ class Handler:
         """-process (main.py:1103-1223)."""
         pipe = self._pipeline(salience=self.cfg.process_salience)
         return segment_folder(self.cfg, pipe, folder,
-                              crf_fn=self._crf_fn())
+                              crf_fn=self._crf_fn(),
+                              write=self.primary)
 
     def visualize(self) -> List[str]:
         """-viscritic/-vismasker curve videos (main.py:702-885).
@@ -502,7 +523,8 @@ class Handler:
             y_mat = self.data.y_test
             y_row = y_mat[cfg.rewidx]
         pipe = self._pipeline(salience=False)
-        return vis(cfg, pipe, x, y_row, self.path, y_matrix=y_mat)
+        return vis(cfg, pipe, x, y_row, self.path, y_matrix=y_mat,
+                   write=self.primary)
 
     def log(self, *args, key: str = "", **kwargs) -> None:
         """Gated print (main.py:887-889)."""

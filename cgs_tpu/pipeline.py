@@ -81,6 +81,19 @@ class MaskPipeline:
         self.separate = separate
         self.with_checksum = with_checksum
         self._key = jax.random.PRNGKey(seed)
+        if mesh is not None:
+            from cgs_tpu.parallel.mesh import replicated_sharding
+            self._key = jax.device_put(np.asarray(self._key),
+                                       replicated_sharding(mesh))
+            if jax.process_count() > 1:
+                # outputs must come home to every host for the
+                # numpy post-processing (CRF, IoU, PNG/video) — a
+                # cross-process data-sharded array is not fetchable;
+                # replicating the outputs inserts the all-gather
+                self._fn = jax.jit(
+                    self._make_forward(),
+                    out_shardings=replicated_sharding(mesh))
+                return
         self._fn = jax.jit(self._make_forward())
 
     def _make_forward(self):

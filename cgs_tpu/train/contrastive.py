@@ -52,7 +52,10 @@ def critic_sweep(critic, cparams, x_dev, n: int,
     idx = np.arange(n_chunks * batch, dtype=np.int32)
     idx = np.minimum(idx, n - 1).reshape(n_chunks, batch)
     sweep = make_sweep_fn(critic, batch)
-    preds = np.asarray(sweep(cparams, x_dev, jnp.asarray(idx)))
+    # idx stays host numpy (uncommitted): x_dev may live on a
+    # multi-process global mesh, and a locally-committed jnp array
+    # cannot mix with global operands in one jit
+    preds = np.asarray(sweep(cparams, x_dev, idx))
     return preds[:n]
 
 
@@ -99,14 +102,17 @@ def extract_contrastive_sets(cfg, critic, cparams, x_dev, y_row,
     if cfg.critic or cfg.cload:
         assert preds[pos].mean() > cfg.high_rew_thresh  # main.py:302
 
-    pos_idx = jnp.asarray(np.nonzero(pos)[0].astype(np.int32))
-    neg_idx = jnp.asarray(np.nonzero(neg)[0].astype(np.int32))
+    # host-numpy indices and labels: uncommitted operands follow
+    # x_dev's (possibly multi-process global) sharding; the Handler
+    # re-places the banks explicitly when meshed
+    pos_idx = np.nonzero(pos)[0].astype(np.int32)
+    neg_idx = np.nonzero(neg)[0].astype(np.int32)
     take = jax.jit(lambda x, i: jnp.take(x, i, axis=0))
     return ContrastiveSets(
         xpos=take(x_dev, pos_idx),
-        ypos=jnp.asarray(y_row[pos]),
+        ypos=y_row[pos],
         xneg=take(x_dev, neg_idx),
-        yneg=jnp.asarray(y_row[neg]),
+        yneg=y_row[neg],
         preds=preds, pos_mask=pos, neg_mask=neg,
     )
 

@@ -1,0 +1,111 @@
+"""TRUE multi-host training: two separate jax processes joined via
+jax.distributed (Gloo over localhost), 2 virtual CPU devices each —
+a 4-device global ('data','model') mesh — running the PRODUCTION
+critic_pipe. Asserts cross-process equivalence with a single-process
+run and that only process 0 writes artifacts (SURVEY.md §5
+'Distributed communication backend'; no reference analogue)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; workdir = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+os.makedirs(workdir, exist_ok=True)
+os.chdir(workdir)
+from cgs_tpu.parallel.multihost import ensure_initialized
+assert ensure_initialized(f"localhost:{{port}}", 2, pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+from cgs_tpu.core.config import Config
+from cgs_tpu.handler import Handler
+cfg = Config(train=True, synthetic_data=True, datasize=600,
+             testsize=100, cepochs=1, visevery=10, dropout=0.0,
+             shift=0, cload=False, model="mh").derive()
+h = Handler(cfg)
+assert dict(h.mesh.shape) == {{"data": 4, "model": 1}}, h.mesh
+h.load_data()
+h.critic_pipe()
+h.save_models(["critic"])   # no-op on the non-primary process
+import numpy as np
+s = float(sum(np.abs(np.asarray(v)).sum()
+              for v in jax.tree.leaves(h.params["critic"])))
+print(f"MHOK proc{{pid}} primary={{h.primary}} paramsum={{s:.8f}}",
+      flush=True)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_matches_single(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.format(repo=REPO))
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    dirs = [str(tmp_path / f"proc{i}") for i in range(2)]
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), str(i),
+                          str(port), dirs[i]],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    sums = {}
+    for i, out in enumerate(outs):
+        line = [ln for ln in out.splitlines() if "MHOK" in ln]
+        assert line, out[-2000:]
+        sums[i] = float(line[0].split("paramsum=")[1])
+    # every process holds the same trained params
+    assert abs(sums[0] - sums[1]) < 1e-4, sums
+
+    # only process 0 wrote run artifacts + checkpoint
+    run0, run1 = (os.path.join(d, "mh") for d in dirs)
+    assert os.path.exists(os.path.join(run0, "critic", "_loss.png"))
+    assert os.path.exists(os.path.join(run0, "metrics.jsonl"))
+    ckpts = os.listdir(os.path.join(run0, "saves"))
+    assert any(c.startswith("critic-") for c in ckpts)
+    assert not os.path.exists(run1), "non-primary host wrote artifacts"
+
+    # and the 2-process result matches a single-process run eps-wise
+    import jax
+
+    from cgs_tpu.core.config import Config
+    from cgs_tpu.handler import Handler
+    from cgs_tpu.train.checkpoints import load_model_pt
+
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg = Config(train=True, synthetic_data=True, datasize=600,
+                     testsize=100, cepochs=1, visevery=10, dropout=0.0,
+                     shift=0, cload=False, data_parallel=1,
+                     model="single").derive()
+        h = Handler(cfg)
+        h.load_data()
+        h.critic_pipe()
+    finally:
+        os.chdir(old)
+    mh_params = load_model_pt(
+        "critic", os.path.join(run0, "saves", sorted(ckpts)[0]))
+    flat_a = np.concatenate([np.asarray(v).ravel() for v in
+                             jax.tree.leaves(mh_params)])
+    flat_b = np.concatenate([np.asarray(v).ravel() for v in
+                             jax.tree.leaves(h.params["critic"])])
+    np.testing.assert_allclose(flat_a, flat_b, atol=1e-3)
