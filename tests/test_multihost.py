@@ -36,6 +36,12 @@ assert dict(h.mesh.shape) == {{"data": 4, "model": 1}}, h.mesh
 h.load_data()
 h.critic_pipe()
 h.save_models(["critic"])   # no-op on the non-primary process
+# eval exercises the cross-process inference path: MaskPipeline with
+# replicated out_shardings so every host can fetch masks for the
+# numpy post-processing (untrained masker — the IoU value is
+# irrelevant, the plumbing is the test)
+ious = h.eval()
+assert len(ious) >= 1
 import numpy as np
 s = float(sum(np.abs(np.asarray(v)).sum()
               for v in jax.tree.leaves(h.params["critic"])))
