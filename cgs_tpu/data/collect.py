@@ -205,7 +205,9 @@ def clean_data(cfg, datadir: str = "train/data/straight/",
         yrow[chunk_chops - k] = 1
 
     out = (x[clean_idxs], yrow[clean_idxs], i[clean_idxs])
-    os.makedirs(datadir, exist_ok=True)
-    with gzip.open(path, "wb") as fp:
-        pickle.dump(out, fp)
+    from cgs_tpu.parallel.multihost import is_primary
+    if is_primary():      # see save_cache: no concurrent writers
+        os.makedirs(datadir, exist_ok=True)
+        with gzip.open(path, "wb") as fp:
+            pickle.dump(out, fp)
     return out
