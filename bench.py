@@ -76,7 +76,7 @@ def main():
                              {"critic": cp, "masker": mp},
                              batch_size=min(batch, 4096))
     host_frames = np.asarray(frames[:4096])
-    host_pipe.run(host_frames[:256])  # compile + warm
+    host_pipe.run(host_frames)  # compile + warm AT THE TIMED SHAPE
     t0 = time.time()
     host_pipe.run(host_frames)
     host_fps = host_frames.shape[0] / (time.time() - t0)

@@ -95,6 +95,8 @@ class Handler:
         self.profiler = Profiler(cfg.profile or None)
         self.data: Optional[DataBundle] = None
         self.contrastive = None
+        self._pipes: Dict = {}       # compiled inference pipelines
+        self._eval_sets: Dict = {}   # folder -> (x, gt) eval data
 
     # -- model/param management ------------------------------------
 
@@ -269,7 +271,11 @@ class Handler:
             if not (epoch + 1) % cfg.saveevery:   # main.py:228
                 self.params[CRITIC] = state.params[CRITIC]
                 self.save_models([CRITIC])
-            if ckpt_mgr is not None and self.primary:
+            if ckpt_mgr is not None:
+                # NOT primary-gated: orbax CheckpointManager.save is a
+                # collective in multi-process jax (it barriers across
+                # hosts and writes from host 0 itself) — gating it to
+                # one process would deadlock the rest
                 ckpt_mgr.save(epoch + 1, state)
             if self.primary:
                 save_loss_plot(result_path + "_loss.png", llog,
@@ -414,8 +420,9 @@ class Handler:
                 for name in trained:
                     self.params[name] = state.params[name]
                 self.save_models([MASKER])
-            if ckpt_mgr is not None and self.primary:
-                ckpt_mgr.save(epoch + 1, state)
+            if ckpt_mgr is not None:
+                ckpt_mgr.save(epoch + 1, state)  # collective (see
+                # the critic-phase note)
             if cfg.directeval:
                 # per-epoch eval + best-IoU tracking — the sandbox's
                 # live feature (TrainHandler.py:1077-1080; dead behind
@@ -444,9 +451,17 @@ class Handler:
     # -- eval / inference ---------------------------------------------
 
     def _pipeline(self, salience: bool) -> MaskPipeline:
+        """Cached per (salience,) config: repeated evals (e.g.
+        -directeval's per-epoch loop) reuse the compiled program and
+        only swap params — a retrace per epoch would pay the remote
+        compile every time."""
+        pipe = self._pipes.get(salience)
+        if pipe is not None:
+            pipe.update_params(self.params)
+            return pipe
         batch = self.cfg.infer_batch or (
             8192 if jax.default_backend() == "tpu" else 128)
-        return MaskPipeline(
+        pipe = MaskPipeline(
             self.critic, self.masker, self.params,
             batch_size=batch,
             salience=salience,
@@ -454,6 +469,8 @@ class Handler:
             separate=self.cfg.separate,
             seed=self.cfg.seed,
             mesh=self.mesh)
+        self._pipes[salience] = pipe
+        return pipe
 
     def _crf_fn(self):
         if not self.cfg.crf:
@@ -476,7 +493,9 @@ class Handler:
             import dataclasses as _dc
             cfg = _dc.replace(cfg, visbesteval=False, resimages=False)
         out_dir = f"eval-results/{cfg.name}/"
-        x, gt = load_eval_set(cfg, folder=folder)
+        if folder not in self._eval_sets:
+            self._eval_sets[folder] = load_eval_set(cfg, folder=folder)
+        x, gt = self._eval_sets[folder]
         pipe = self._pipeline(salience=cfg.salience)
         result = evaluate(cfg, pipe, x, gt, crf_fn=self._crf_fn(),
                           best_iou=self.ious[0], out_dir=out_dir)

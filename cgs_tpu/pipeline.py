@@ -68,14 +68,11 @@ class MaskPipeline:
         self._pallas_ingest = bool(use_pallas) and platform == "tpu"
         self.batch = int(batch_size)
         if mesh is not None:
-            from cgs_tpu.parallel.mesh import (
-                data_sharding, replicated_sharding,
-            )
+            from cgs_tpu.parallel.mesh import data_sharding
             self._data_sh = data_sharding(mesh)
-            params = jax.device_put(params, replicated_sharding(mesh))
             ndata = mesh.shape["data"]
             self.batch = -(-self.batch // ndata) * ndata
-        self.params = params
+        self.update_params(params)
         self.salience = salience
         self.eval_mode = eval_mode
         self.separate = separate
@@ -146,6 +143,19 @@ class MaskPipeline:
             return pred, mask, sal
 
         return forward
+
+    def update_params(self, params) -> None:
+        """Swap in new params without retracing (params are a jit
+        argument) — lets callers reuse one compiled pipeline across
+        training epochs. Over a mesh, values route through host numpy
+        and replicate (valid for both local and multi-process global
+        placement)."""
+        if self.mesh is not None:
+            from cgs_tpu.parallel.mesh import replicated_sharding
+            params = jax.device_put(
+                jax.tree.map(np.asarray, params),
+                replicated_sharding(self.mesh))
+        self.params = params
 
     def _next_key(self):
         # dropout keys are only consumed with eval_mode=False

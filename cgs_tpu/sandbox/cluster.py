@@ -102,8 +102,8 @@ def cluster_frames(x_u8: np.ndarray, y: np.ndarray, n_clusters: int,
     pixels = hsv[..., :2].reshape(-1, 2)
     pixels = pixels.at[:, 1].mul(0.1)
 
-    _, flat_labels = kmeans(pixels, n_clusters, iters=iters,
-                            key=jax.random.PRNGKey(seed))
+    centroids, flat_labels = kmeans(pixels, n_clusters, iters=iters,
+                                    key=jax.random.PRNGKey(seed))
     labels = np.asarray(flat_labels).reshape(x_u8.shape[:-1])
 
     rew = np.asarray(y) == 1
@@ -117,8 +117,6 @@ def cluster_frames(x_u8: np.ndarray, y: np.ndarray, n_clusters: int,
         values.append(float((sel * tm).sum() / max(denom, 1)))
     layers = np.stack([(labels == c) for c in range(n_clusters)],
                       axis=1).astype(np.uint8)
-    centroids, _ = kmeans(pixels, n_clusters, iters=iters,
-                          key=jax.random.PRNGKey(seed))
     return {
         "labels": labels,
         "layers": layers,

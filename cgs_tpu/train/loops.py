@@ -41,9 +41,9 @@ def _jit_chunk(chunk: Callable, mesh, n_bank_args: int,
     the gradient all-reduce (cgs_tpu/parallel/mesh.py)."""
     if mesh is None:
         return jax.jit(chunk, donate_argnums=(0,))
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    repl = NamedSharding(mesh, P())
-    idx = NamedSharding(mesh, P(None, "data"))
+    from cgs_tpu.parallel.mesh import index_sharding, replicated_sharding
+    repl = replicated_sharding(mesh)
+    idx = index_sharding(mesh)
     in_shardings = ((repl,) + (repl,) * n_bank_args
                     + (idx,) * n_index_args + (repl,))
     return jax.jit(chunk, in_shardings=in_shardings,

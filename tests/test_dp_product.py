@@ -40,16 +40,18 @@ def _flat(tree):
         [np.asarray(x).ravel() for x in jax.tree.leaves(tree)])
 
 
-def test_handler_builds_mesh_by_default():
+def test_handler_builds_mesh_by_default(tmp_path):
     """data_parallel=0 (the default) -> all local devices; the test
-    env has 8, so the production Handler must come up meshed."""
-    cfg = Config(model="meshcheck").derive()
+    env has 8, so the production Handler must come up meshed.
+    (Handler.__init__ opens <model>/metrics.jsonl, so point the run
+    dirs into tmp_path — bare names would litter the repo root.)"""
+    cfg = Config(model=str(tmp_path / "meshcheck")).derive()
     h = Handler(cfg)
     assert h.mesh is not None
     assert dict(h.mesh.shape) == {"data": 8, "model": 1}
     # and --data-parallel 1 opts out (plain jit)
-    assert Handler(Config(model="m1", data_parallel=1).derive()
-                   ).mesh is None
+    assert Handler(Config(model=str(tmp_path / "m1"),
+                          data_parallel=1).derive()).mesh is None
 
 
 def test_critic_pipe_dp_matches_single(workdir):
