@@ -94,10 +94,15 @@ def save_cache(path: str, x, y, i) -> None:
     if not is_primary():
         return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with gzip.GzipFile(path, "wb") as fp:
+    # atomic publish: data to a temp name, sidecar first, then rename.
+    # A crash mid-save must not leave a truncated cache that a later
+    # run accepts (sidecar-less reference caches load unchecked).
+    tmp = path + ".tmp"
+    with gzip.GzipFile(tmp, "wb") as fp:
         pickle.dump((x, y, i), fp)
     with open(path + ".sha256", "w") as fp:
-        fp.write(_digest(path))
+        fp.write(_digest(tmp))
+    os.rename(tmp, path)
 
 
 def collect_data(cfg, datadir: str = "runs/data/straight/",

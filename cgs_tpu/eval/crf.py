@@ -33,9 +33,28 @@ def _build() -> None:
                    check=True, capture_output=True)
 
 
-def _load_lib() -> ctypes.CDLL:
-    if not os.path.exists(_LIB_PATH):
+def _ensure_built(timeout_s: float = 300.0) -> None:
+    """Build the native library exactly once across a multi-host run
+    on a shared filesystem: host 0 runs make, others poll for the .so
+    (concurrent make invocations clobber each other's objects
+    mid-link)."""
+    if os.path.exists(_LIB_PATH):
+        return
+    from cgs_tpu.parallel.multihost import is_primary
+    if is_primary():
         _build()
+        return
+    import time as _time
+    deadline = _time.time() + timeout_s
+    while not os.path.exists(_LIB_PATH):
+        if _time.time() > deadline:
+            raise RuntimeError(
+                f"timed out waiting for host 0 to build {_LIB_PATH}")
+        _time.sleep(1.0)
+
+
+def _load_lib() -> ctypes.CDLL:
+    _ensure_built()
     lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
     lib.cgs_densecrf.restype = ctypes.c_int
     lib.cgs_densecrf.argtypes = [

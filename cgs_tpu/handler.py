@@ -34,7 +34,8 @@ from cgs_tpu.eval.segment import segment_folder
 from cgs_tpu.models.critic import Critic
 from cgs_tpu.models.decoder import UnetDecoder
 from cgs_tpu.parallel.mesh import (
-    index_sharding, local_mesh_or_none, replicated_sharding,
+    index_sharding, local_mesh_or_none, replicate_tree,
+    replicated_sharding,
 )
 from cgs_tpu.parallel.multihost import is_primary
 from cgs_tpu.pipeline import MaskPipeline
@@ -107,30 +108,27 @@ class Handler:
         replicated array when meshed."""
         self.key, k = jax.random.split(self.key)
         if self.mesh is not None:
-            return jax.device_put(np.asarray(k),
-                                  replicated_sharding(self.mesh))
+            return replicate_tree(self.mesh, k)
         return k
 
     def _replicate(self, tree):
         """Place a pytree replicated over the DP mesh (identity with
-        no mesh). Keeps host-initialized / .pt-loaded params from
-        colliding with mesh-resident batch data inside one jit.
-
-        Values round-trip through host numpy first: device_put of a
-        host value onto a multi-process global sharding is the
-        documented way to build global arrays (each process supplies
-        the identical value); a locally-committed jax.Array is not."""
+        no mesh) — parallel/mesh.py:replicate_tree holds the
+        single/multi-process placement rules."""
         if self.mesh is None:
             return tree
-        tree = jax.tree.map(np.asarray, tree)
-        return jax.device_put(tree, replicated_sharding(self.mesh))
+        return replicate_tree(self.mesh, tree)
 
     def _put_idx(self, idx) -> jnp.ndarray:
         """Ship a (steps, batch) index stack; over a mesh the batch
-        axis is sharded on 'data' (parallel/mesh.py:index_sharding)."""
+        axis is sharded on 'data' when divisible, replicated
+        otherwise (parallel/mesh.py:index_sharding — must agree with
+        the chunk jit's in_shardings)."""
         if self.mesh is None:
             return jnp.asarray(idx)
-        return jax.device_put(np.asarray(idx), index_sharding(self.mesh))
+        idx = np.asarray(idx)
+        return jax.device_put(idx,
+                              index_sharding(self.mesh, idx.shape[1]))
 
     def reset_models(self) -> None:
         """Fresh params (main.py:106-111). Initialization runs on the
@@ -156,8 +154,29 @@ class Handler:
 
     def load_models(self, modelnames: Optional[List[str]] = None) -> bool:
         """.pt checkpoint load; False if any file is missing
-        (main.py:136-147)."""
+        (main.py:136-147).
+
+        Multi-host: host 0's filesystem decides and its values are
+        broadcast — checkpoints are written by host 0 only, so local
+        disks can disagree, and a divergent cload short-circuit would
+        leave some hosts inside SPMD collectives the others never
+        dispatch (deadlock)."""
         modelnames = modelnames or list(self.params.keys())
+        if jax.process_count() == 1:
+            return self._load_models_local(modelnames)
+        from jax.experimental import multihost_utils
+        ok = self._load_models_local(modelnames) if self.primary \
+            else False
+        ok = bool(multihost_utils.broadcast_one_to_all(
+            np.int32(ok)))
+        if ok:
+            for name in modelnames:
+                self.params[name] = jax.tree.map(
+                    np.asarray, multihost_utils.broadcast_one_to_all(
+                        jax.tree.map(np.asarray, self.params[name])))
+        return ok
+
+    def _load_models_local(self, modelnames: List[str]) -> bool:
         for name in modelnames:
             loaded = load_model_pt(name, self.save_paths[name])
             if loaded is None:

@@ -42,14 +42,37 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def index_sharding(mesh: Mesh) -> NamedSharding:
+def index_sharding(mesh: Mesh, batch: Optional[int] = None
+                   ) -> NamedSharding:
     """Sharding for (steps, batch) index stacks: the scan axis stays
     whole, the batch axis splits over 'data'. The device-resident
     frame banks are replicated; sharding the per-step gather indices
     makes every downstream tensor of the train step batch-sharded, so
     XLA inserts the gradient all-reduce over ICI (the
-    replicate-the-bank / shard-the-indices layout)."""
+    replicate-the-bank / shard-the-indices layout).
+
+    With `batch` given, degrade gracefully when the batch axis is not
+    divisible by the 'data' extent (e.g. the fixed contrastive k=32
+    on a 64-chip mesh): fall back to replicated placement — correct
+    math, every chip computes the full batch — instead of a sharding
+    error at dispatch."""
+    if batch is not None and batch % mesh.shape["data"]:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(None, "data"))
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate a pytree over the mesh — THE placement idiom for
+    params/state/banks/keys. Single-process: direct device_put (the
+    values may be committed local or global arrays). Multi-process:
+    route through host numpy first — device_put of a host value onto
+    a global sharding is the documented way to build global arrays
+    (every process supplies the identical value); a locally-committed
+    jax.Array is rejected."""
+    if jax.process_count() > 1:
+        import numpy as _np
+        tree = jax.tree.map(_np.asarray, tree)
+    return jax.device_put(tree, replicated_sharding(mesh))
 
 
 def shard_batch(mesh: Mesh, batch):

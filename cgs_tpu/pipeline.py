@@ -147,14 +147,11 @@ class MaskPipeline:
     def update_params(self, params) -> None:
         """Swap in new params without retracing (params are a jit
         argument) — lets callers reuse one compiled pipeline across
-        training epochs. Over a mesh, values route through host numpy
-        and replicate (valid for both local and multi-process global
-        placement)."""
+        training epochs. Placement rules live in
+        parallel/mesh.py:replicate_tree."""
         if self.mesh is not None:
-            from cgs_tpu.parallel.mesh import replicated_sharding
-            params = jax.device_put(
-                jax.tree.map(np.asarray, params),
-                replicated_sharding(self.mesh))
+            from cgs_tpu.parallel.mesh import replicate_tree
+            params = replicate_tree(self.mesh, params)
         self.params = params
 
     def _next_key(self):

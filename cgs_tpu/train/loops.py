@@ -34,18 +34,19 @@ Array = jnp.ndarray
 
 
 def _jit_chunk(chunk: Callable, mesh, n_bank_args: int,
-               n_index_args: int) -> Callable:
+               index_batches: tuple) -> Callable:
     """jit a scanned-chunk function. With a mesh: state and the
     device-resident frame banks are replicated, the (S, B) index
-    stacks are sharded over 'data' on the batch axis, and XLA inserts
-    the gradient all-reduce (cgs_tpu/parallel/mesh.py)."""
+    stacks are sharded over 'data' on the batch axis (replicated when
+    B doesn't divide — see mesh.index_sharding), and XLA inserts the
+    gradient all-reduce (cgs_tpu/parallel/mesh.py)."""
     if mesh is None:
         return jax.jit(chunk, donate_argnums=(0,))
     from cgs_tpu.parallel.mesh import index_sharding, replicated_sharding
     repl = replicated_sharding(mesh)
-    idx = index_sharding(mesh)
     in_shardings = ((repl,) + (repl,) * n_bank_args
-                    + (idx,) * n_index_args + (repl,))
+                    + tuple(index_sharding(mesh, b)
+                            for b in index_batches) + (repl,))
     return jax.jit(chunk, in_shardings=in_shardings,
                    donate_argnums=(0,))
 
@@ -81,7 +82,8 @@ def make_critic_chunk(cfg, critic, tx: optax.GradientTransformation,
         state, losses = jax.lax.scan(body, state, (idx, keys))
         return state, losses
 
-    return _jit_chunk(chunk, mesh, n_bank_args=2, n_index_args=1)
+    return _jit_chunk(chunk, mesh, n_bank_args=2,
+                      index_batches=(int(cfg.batch_size),))
 
 
 def make_critic_viz_fn(cfg, critic) -> Callable:
@@ -157,7 +159,10 @@ def make_masker_chunk(cfg, critic, masker,
                                      ((hidx, lidx, cidx), keys))
         return state, losses
 
-    return _jit_chunk(chunk, mesh, n_bank_args=4, n_index_args=3)
+    # contrastive batch sizes are fixed: K=32 high, K=32 low, 2K=64
+    # contrast-negatives (main.py:309)
+    return _jit_chunk(chunk, mesh, n_bank_args=4,
+                      index_batches=(32, 32, 64))
 
 
 def make_masker_viz_fn(cfg, critic, masker) -> Callable:

@@ -192,3 +192,35 @@ def test_pipeline_mesh_inference_matches_plain():
     b = meshed.run(frames)   # 16 -> padded to shard-even, ragged tail
     np.testing.assert_allclose(b.preds, a.preds, atol=1e-5)
     np.testing.assert_allclose(b.masks, a.masks, atol=1e-5)
+
+
+def test_index_sharding_divisibility_fallback():
+    """Batch axes that don't divide the 'data' extent (the fixed
+    contrastive k=32 on a >32-chip mesh, odd --batch-size) degrade to
+    replicated placement — correct math, no dispatch error."""
+    from jax.sharding import PartitionSpec as P
+
+    from cgs_tpu.parallel.mesh import index_sharding, make_mesh
+
+    mesh = make_mesh(n_data=8)
+    assert index_sharding(mesh, 32).spec == P(None, "data")
+    assert index_sharding(mesh, 64).spec == P(None, "data")
+    assert index_sharding(mesh, 30).spec == P()
+    assert index_sharding(mesh, 4).spec == P()
+
+    # end-to-end: a non-divisible critic batch trains over the mesh
+    cfg = Config(train=True, synthetic_data=True, datasize=300,
+                 testsize=60, cepochs=1, visevery=5, dropout=0.0,
+                 shift=0, cload=False, batch_size=30,
+                 model="odd").derive()
+    import os as _os
+    import tempfile
+    old = _os.getcwd()
+    _os.chdir(tempfile.mkdtemp())
+    try:
+        h = Handler(cfg)
+        assert h.mesh is not None
+        h.load_data()
+        h.critic_pipe()    # would raise at dispatch without fallback
+    finally:
+        _os.chdir(old)

@@ -45,6 +45,15 @@ assert len(ious) >= 1
 import numpy as np
 s = float(sum(np.abs(np.asarray(v)).sum()
               for v in jax.tree.leaves(h.params["critic"])))
+# cross-host checkpoint agreement: only host 0 has the .pt on disk
+# (separate cwds emulate non-shared filesystems); load_models must
+# broadcast host 0's decision AND values so no host diverges
+h2 = Handler(cfg)
+ok = h2.load_models(["critic"])
+assert ok, "load_models diverged: host without the file returned False"
+s2 = float(sum(np.abs(np.asarray(v)).sum()
+               for v in jax.tree.leaves(h2.params["critic"])))
+assert abs(s2 - s) < 1e-4, (s2, s)
 print(f"MHOK proc{{pid}} primary={{h.primary}} paramsum={{s:.8f}}",
       flush=True)
 """
