@@ -26,4 +26,4 @@ from cgs_tpu.sandbox.patch_embed import (  # noqa: F401
     PatchEmbedder, create_patch_embedding_clusters, gmm_fit)
 from cgs_tpu.sandbox.embed_viz import vis_embed, vis_pixels, vis_white_tree  # noqa: F401
 from cgs_tpu.sandbox.trans_embeds import trans_embeds  # noqa: F401
-from cgs_tpu.sandbox.unet_embeddings import vis_unet_embeddings  # noqa: F401
+from cgs_tpu.sandbox.unet_embeddings import vis_unet, vis_unet_embeddings  # noqa: F401

@@ -1,5 +1,6 @@
 """U-Net embedding-space visualization (reference
-`vis_unet_embeddings`, TrainHandler.py:1592-1686).
+`vis_unet_embeddings`, TrainHandler.py:1592-1686) and the U-Net
+offline/online result video (`vis_unet`, TrainHandler.py:2652-2720).
 
 Forwards a frame sample plus labeled tree-trunk crops through the
 full-U-Net (zoo.Unet, embeds=True -> the pre-upsample u0 feature map),
@@ -164,3 +165,49 @@ def vis_unet_embeddings(unet, params, frames: np.ndarray,
         frame_paths.append(p)
     return {"plot": plot_path, "frames": frame_paths,
             "selection": batch_selection}
+
+
+def vis_unet(unet, params, frames: np.ndarray, out_dir: str,
+             online: bool = False, batchsize: int = 512,
+             scale: int = 6) -> str:
+    """TrainHandler.py:2652-2720: run the full U-Net over an HSV frame
+    stream (offline = dataset frames + navigation negatives; online =
+    frames decoded from a clip — the caller supplies either) and write
+    the 3-panel result video [pov | mask-weighted rgb | mask], each
+    panel 1-px padded and the strip NN-upscaled `scale`x
+    (:2705-2718). Returns the video path (`offline-eval.mp4` /
+    `online-eval.mp4`; the reference writes XVID .avi).
+
+    Frames are fed to the net in the reference's unscaled 0-255 HSV
+    range (:2696: `T.from_numpy(...)` with no /255) while the RGB
+    panels render from frames/255 (:2701)."""
+    os.makedirs(out_dir, exist_ok=True)
+    x = np.asarray(frames, np.float32)
+
+    @jax.jit
+    def forward(p, batch):
+        return unet.apply({"params": p}, batch)
+
+    masks = []
+    for bidx in range(0, len(x), batchsize):
+        m = forward(params, jnp.asarray(x[bidx:bidx + batchsize]))
+        masks.append(np.asarray(m))
+    masks = np.concatenate(masks, axis=0)
+
+    rgb = hsv_to_rgb(x / 255) * 255
+    pad = lambda a, v: np.pad(a, ((1, 1), (1, 1), (0, 0)),  # noqa: E731
+                              mode="constant", constant_values=v)
+    strips = []
+    for idx, mask in enumerate(masks):
+        m = np.ones(rgb[idx].shape) * mask
+        masked_rgb = rgb[idx] * m
+        pic = np.concatenate(
+            (pad(rgb[idx], 125), pad(masked_rgb, 125),
+             pad(255 * m, 0.5 * 255)), axis=1)
+        pic = np.kron(pic, np.ones((scale, scale, 1)))  # NN upscale
+        strips.append(np.clip(pic, 0, 255).astype(np.uint8))
+    name = "online-eval.mp4" if online else "offline-eval.mp4"
+    path = os.path.join(out_dir, name)
+    from cgs_tpu.utils.video import vidwrite
+    vidwrite(path, np.stack(strips), framerate=20)
+    return path

@@ -181,3 +181,23 @@ def test_vis_unet_embeddings_pca_fallback(tmp_path):
     # the half-plane cut selects ~10% of embed pixels by default
     frac = out["selection"].mean()
     assert 0.01 < frac < 0.3
+
+
+def test_vis_unet_video(tmp_path):
+    import os
+
+    import jax
+    from cgs_tpu.models.zoo import Unet
+    from cgs_tpu.sandbox.unet_embeddings import vis_unet
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((6, 64, 64, 3)).astype(np.float32) * 255
+    unet = Unet()
+    params = unet.init(jax.random.PRNGKey(0),
+                       np.zeros((1, 64, 64, 3), np.float32))["params"]
+    path = vis_unet(unet, params, frames, str(tmp_path), scale=2)
+    assert path.endswith("offline-eval.mp4")
+    assert os.path.getsize(path) > 0
+    online = vis_unet(unet, params, frames, str(tmp_path),
+                      online=True, scale=2)
+    assert online.endswith("online-eval.mp4")
