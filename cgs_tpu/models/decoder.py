@@ -24,7 +24,7 @@ the VPU, fused by XLA into the adjacent concat+conv.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,15 +35,35 @@ Array = jnp.ndarray
 
 
 def upsample2x(x: Array) -> Array:
-    """Nearest-neighbor x2 upsample, NHWC.
+    """Nearest-neighbor x2 upsample, NHWC (jnp path).
 
     Two chained jnp.repeat calls on purpose: a measured 6-D
     single-broadcast+reshape variant (write the (B,H,2,W,2,C) tensor
     once) was 23% SLOWER end-to-end on v5e (605k -> 465k frames/s) —
     the reshape forces a relayout of the (8,128)-tiled intermediate,
     while XLA lowers the repeat chain to two well-tiled broadcasts
-    (profiled at 420 GB/s each). See RESULTS.md roofline notes."""
+    (profiled at 420 GB/s each). See RESULTS.md roofline notes.
+
+    The Pallas single-pass kernel (ops/pallas_upsample.py) beats this
+    path 2.9x at the big 32->64 stage by skipping the intermediate
+    HBM round-trip; `UnetDecoder.use_pallas_upsample` selects it."""
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def _auto_pallas_upsample() -> bool:
+    """Default OFF. The Pallas single-pass upsample wins 2.9x on the
+    op in isolation (ops/pallas_upsample.py), but wiring it into this
+    module is a net LOSS at production batch: the custom-call output
+    must cross back into XLA as a (B, 2H, 2W, C) tensor, and XLA's
+    layout assignment at that seam picks a 16x-padded (8, 128) tiling
+    over the (W=64, C=8) minor dims — a 34 GB allocation at batch
+    32768 (compile-time OOM; verified 2026-08). Every workaround
+    (4-D pallas output, NCHW emission + transpose, lane-split
+    reshapes in-kernel) either hits Mosaic's unsupported-shape-cast
+    wall or re-inserts an equivalent relayout. Kept opt-in for
+    callers that consume the upsampled tensor without a conv. See
+    RESULTS.md round-2 notes."""
+    return False
 
 
 class UnetDecoder(nn.Module):
@@ -56,6 +76,8 @@ class UnetDecoder(nn.Module):
     colorchs: int = 3
     chfak: int = 1
     compute_dtype: jnp.dtype = jnp.float32
+    # None = auto (Pallas on single-device TPU); see _auto_pallas_upsample
+    use_pallas_upsample: Optional[bool] = None
 
     def _conv(self, features: int, kernel: int, in_ch: int,
               name: str) -> nn.Conv:
@@ -82,25 +104,37 @@ class UnetDecoder(nn.Module):
         x = x.astype(self.compute_dtype)
         embeds = [e.astype(self.compute_dtype) for e in embeds]
 
+        pallas_up = (self.use_pallas_upsample
+                     if self.use_pallas_upsample is not None
+                     else _auto_pallas_upsample())
+
+        def up2(h: Array) -> Array:
+            if pallas_up:
+                from cgs_tpu.ops.pallas_upsample import (
+                    supports_pallas_upsample, upsample2x_pallas)
+                if supports_pallas_upsample(h):
+                    return upsample2x_pallas(h)
+            return upsample2x(h)
+
         # dec[4]: 1x1 conv on the bottleneck (nets.py:484,501)
         out4 = self._conv(neck, 1, neck, "dec4")(embeds[4])
 
         # dec[3]: bottleneck upped x4 (two x2 ups, nets.py:503)
-        in3 = jnp.concatenate([embeds[3], upsample2x(upsample2x(out4))],
+        in3 = jnp.concatenate([embeds[3], up2(up2(out4))],
                               axis=-1)
         out3 = self._conv(ddims[3], 3, edims[3] + neck, "dec3")(in3)
 
-        in2 = jnp.concatenate([embeds[2], upsample2x(out3)], axis=-1)
+        in2 = jnp.concatenate([embeds[2], up2(out3)], axis=-1)
         out2 = self._conv(ddims[2], 3, edims[2] + ddims[3], "dec2")(in2)
 
-        in1 = jnp.concatenate([embeds[1], upsample2x(out2)], axis=-1)
+        in1 = jnp.concatenate([embeds[1], up2(out2)], axis=-1)
         out1 = self._conv(ddims[1], 3, edims[1] + ddims[2], "dec1")(in1)
 
-        in0 = jnp.concatenate([embeds[0], upsample2x(out1)], axis=-1)
+        in0 = jnp.concatenate([embeds[0], up2(out1)], axis=-1)
         out0 = self._conv(ddims[0], 3, edims[0] + ddims[1], "dec0")(in0)
 
         # masker head: re-ground on the RGB input (nets.py:487-492,520-521)
-        inout = jnp.concatenate([x, upsample2x(out0)], axis=-1)
+        inout = jnp.concatenate([x, up2(out0)], axis=-1)
         h = self._conv(self.masker_channels, 3,
                        self.colorchs + ddims[0], "mask0")(inout)
         h = nn.leaky_relu(h, negative_slope=0.01)

@@ -128,3 +128,55 @@ def test_masker_loss_pallas_merge_matches_plain():
     jax.tree.map(
         lambda p, q: np.testing.assert_allclose(
             np.asarray(p), np.asarray(q), atol=1e-5), g0, g1)
+
+
+class TestPallasUpsample:
+    """ops/pallas_upsample.py — the single-pass x2 nearest upsample
+    (matmul-gather W-duplication + free H-duplication in the output
+    indexing). 2.9x the jnp repeat chain in isolation on v5e; kept
+    opt-in because the XLA layout seam at the consumer conv loses the
+    win (see module docstring)."""
+
+    def test_matches_jnp_repeat_chain(self):
+        from cgs_tpu.models.decoder import upsample2x
+        from cgs_tpu.ops.pallas_upsample import (
+            supports_pallas_upsample, upsample2x_pallas)
+        rng = np.random.default_rng(0)
+        for shape in [(4, 32, 32, 8), (3, 16, 16, 8), (2, 8, 8, 16),
+                      (2, 4, 64, 2)]:
+            x = jnp.asarray(rng.random(shape, dtype=np.float32))
+            assert supports_pallas_upsample(x)
+            np.testing.assert_array_equal(np.asarray(upsample2x_pallas(x)),
+                                          np.asarray(upsample2x(x)))
+
+    def test_unsupported_lane_dim_detected(self):
+        from cgs_tpu.ops.pallas_upsample import supports_pallas_upsample
+        assert not supports_pallas_upsample(jnp.zeros((2, 8, 8, 8)))
+
+    def test_vjp_is_sum_pool(self):
+        from cgs_tpu.models.decoder import upsample2x
+        from cgs_tpu.ops.pallas_upsample import upsample2x_pallas
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((2, 16, 16, 8), dtype=np.float32))
+        g = jax.grad(lambda v: jnp.sum(jnp.sin(upsample2x_pallas(v))))(x)
+        gr = jax.grad(lambda v: jnp.sum(jnp.sin(upsample2x(v))))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                                   atol=1e-6)
+
+    def test_decoder_flag_parity(self):
+        """UnetDecoder(use_pallas_upsample=True) is bit-identical to
+        the jnp path (values are copies, not sums)."""
+        from cgs_tpu import Critic, UnetDecoder
+        rng = np.random.default_rng(2)
+        key = jax.random.PRNGKey(0)
+        x0 = jnp.zeros((2, 64, 64, 3))
+        critic = Critic()
+        cp = critic.init({"params": key}, x0, collect=True)["params"]
+        x = jnp.asarray(rng.random((4, 64, 64, 3), dtype=np.float32))
+        _, em = critic.apply({"params": cp}, x, collect=True)
+        m_ref = UnetDecoder(use_pallas_upsample=False)
+        mp = m_ref.init({"params": key}, x, em)["params"]
+        a = UnetDecoder(use_pallas_upsample=True).apply(
+            {"params": mp}, x, em)
+        b = m_ref.apply({"params": mp}, x, em)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
