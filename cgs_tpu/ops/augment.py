@@ -27,3 +27,32 @@ def shift_batch(key: jax.Array, x: Array, max_shift: int) -> Array:
         max_shift * jax.random.uniform(k1, ())).astype(jnp.int32)
     sign = jnp.where(jax.random.uniform(k2, ()) > 0.5, -1, 1)
     return jnp.roll(x, sign * xshift, axis=2)
+
+
+_BLUR3 = jnp.asarray([[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+                     jnp.float32) / 16.0
+_BLUR5 = jnp.asarray([[1, 4, 6, 4, 1], [4, 16, 24, 16, 4],
+                      [6, 24, 36, 24, 6], [4, 16, 24, 16, 4],
+                      [1, 4, 6, 4, 1]], jnp.float32) / 256.0
+
+
+def gaussian_blur(x: Array, size: int) -> Array:
+    """The `-blur` preprocessing of the sandbox loader
+    (TrainHandler.py:274-282): a hand-rolled binomial 3x3 or 5x5
+    Gaussian applied per channel (torch depthwise conv2d, groups=3).
+
+    x: (B, H, W, C) floats, NHWC (the reference works NCHW; values
+    match exactly). size: 3 or 5; anything else is identity (the
+    reference only defines `blur` for those sizes and would NameError
+    otherwise — quirk policy: no-op instead of the crash).
+    """
+    if size not in (3, 5):
+        return x
+    k = _BLUR3 if size == 3 else _BLUR5
+    c = x.shape[-1]
+    kern = jnp.broadcast_to(k[:, :, None, None],
+                            k.shape + (1, c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)

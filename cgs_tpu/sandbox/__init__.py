@@ -27,3 +27,6 @@ from cgs_tpu.sandbox.patch_embed import (  # noqa: F401
 from cgs_tpu.sandbox.embed_viz import vis_embed, vis_pixels, vis_white_tree  # noqa: F401
 from cgs_tpu.sandbox.trans_embeds import trans_embeds  # noqa: F401
 from cgs_tpu.sandbox.unet_embeddings import vis_unet, vis_unet_embeddings  # noqa: F401
+from cgs_tpu.sandbox.merge_variants import (  # noqa: F401
+    distnorm_loss, make_pair_merge_step, make_single_net_merge_step,
+    percentile_split)
