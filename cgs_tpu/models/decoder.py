@@ -76,7 +76,8 @@ class UnetDecoder(nn.Module):
     colorchs: int = 3
     chfak: int = 1
     compute_dtype: jnp.dtype = jnp.float32
-    # None = auto (Pallas on single-device TPU); see _auto_pallas_upsample
+    # None = default OFF (the Pallas kernel loses at the XLA layout
+    # seam — see _auto_pallas_upsample); True opts in explicitly
     use_pallas_upsample: Optional[bool] = None
 
     def _conv(self, features: int, kernel: int, in_ch: int,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
@@ -29,11 +30,15 @@ def shift_batch(key: jax.Array, x: Array, max_shift: int) -> Array:
     return jnp.roll(x, sign * xshift, axis=2)
 
 
-_BLUR3 = jnp.asarray([[1, 2, 1], [2, 4, 2], [1, 2, 1]],
-                     jnp.float32) / 16.0
-_BLUR5 = jnp.asarray([[1, 4, 6, 4, 1], [4, 16, 24, 16, 4],
-                      [6, 24, 36, 24, 6], [4, 16, 24, 16, 4],
-                      [1, 4, 6, 4, 1]], jnp.float32) / 256.0
+# numpy on purpose: module-level jnp arrays would initialize the
+# default backend at import time, violating the backend-init ordering
+# rule (CLAUDE.md: XLA_FLAGS must precede the FIRST backend init;
+# this module is imported by train/steps and dryrun_multichip's deps)
+_BLUR3 = np.asarray([[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+                    np.float32) / 16.0
+_BLUR5 = np.asarray([[1, 4, 6, 4, 1], [4, 16, 24, 16, 4],
+                     [6, 24, 36, 24, 6], [4, 16, 24, 16, 4],
+                     [1, 4, 6, 4, 1]], np.float32) / 256.0
 
 
 def gaussian_blur(x: Array, size: int) -> Array:
@@ -48,7 +53,7 @@ def gaussian_blur(x: Array, size: int) -> Array:
     """
     if size not in (3, 5):
         return x
-    k = _BLUR3 if size == 3 else _BLUR5
+    k = jnp.asarray(_BLUR3 if size == 3 else _BLUR5)
     c = x.shape[-1]
     kern = jnp.broadcast_to(k[:, :, None, None],
                             k.shape + (1, c)).astype(x.dtype)

@@ -49,11 +49,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cgs_tpu.ops.pallas_kernels import _interpret
+
 Array = jnp.ndarray
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 @functools.lru_cache(maxsize=None)
@@ -75,10 +73,14 @@ def _up2_kernel(x_ref, d_ref, out_ref):
 
 
 def supports_pallas_upsample(x: Array) -> bool:
-    """Lane tiling requires W*C % 128 == 0; tiny stages stay on the
-    jnp path (their broadcasts are KBs, not GBs)."""
+    """Lane tiling requires W*C % 128 == 0, and the (WC, 2WC)
+    duplication matrix stays VMEM-resident across grid steps — cap
+    WC at 512 (D <= 2 MB f32) so wide-channel variants (chfak > 2)
+    fall back to the jnp path instead of failing Mosaic's VMEM
+    allocation. Tiny stages stay on jnp too (their broadcasts are
+    KBs, not GBs)."""
     _, _, w, c = x.shape
-    return (w * c) % 128 == 0
+    return (w * c) % 128 == 0 and (w * c) <= 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -94,9 +96,12 @@ def _up2_forward(x: Array, block_rows: int) -> Array:
     wc = w * c
     assert wc % 128 == 0, f"lane dim {wc} must be a multiple of 128"
     rows = b * h
-    # upsampling is row-local, so blocks may span images; size blocks
-    # to ~6 MB of VMEM (in + 2x duplicated out + double buffering)
-    blk = max(8, min(block_rows, (6 << 20) // (18 * wc * x.dtype.itemsize // 2)))
+    # upsampling is row-local, so blocks may span images; budget ~5 MB
+    # of VMEM for the double-buffered row blocks (in wc + out 4wc
+    # bytes/row, x2 buffers) — the D matrix (<= 2 MB, enforced by
+    # supports_pallas_upsample) rides on top
+    blk = max(8, min(block_rows,
+                     (5 << 20) // (10 * wc * x.dtype.itemsize)))
     while rows % blk:
         blk -= 1
     grid = (rows // blk,)

@@ -19,11 +19,12 @@ from cgs_tpu.sandbox.patch_embed import PatchEmbedder
 from cgs_tpu.utils.video import vidwrite
 
 
-def _resize_nn(frame: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
-    """cv2.resize stand-in (bilinear like the reference's default)."""
-    import cv2
-    return cv2.resize(frame.astype(np.float32), size,
-                      interpolation=cv2.INTER_LINEAR)
+def _resize_bilinear(frame: np.ndarray,
+                     hw: Tuple[int, int]) -> np.ndarray:
+    """Shared (h, w)-convention bilinear resize — see
+    sandbox/unet_embeddings.resize_bilinear."""
+    from cgs_tpu.sandbox.unet_embeddings import resize_bilinear
+    return resize_bilinear(frame, hw)
 
 
 def vis_embed(embedder: PatchEmbedder, frames_hsv: np.ndarray,
@@ -47,7 +48,7 @@ def vis_embed(embedder: PatchEmbedder, frames_hsv: np.ndarray,
     rgb = hsv_to_rgb(x)
     strips = []
     for idx, frame in enumerate(probs):
-        resized = np.ones((64, 64, 3)) * _resize_nn(
+        resized = np.ones((64, 64, 3)) * _resize_bilinear(
             frame, (64, 64))[:, :, None]
         clean_mask = resized > thresh
         masked_rgb = rgb[idx] * clean_mask
@@ -107,17 +108,22 @@ def vis_white_tree(embedder: PatchEmbedder, frames_hsv: np.ndarray,
     rgb = hsv_to_rgb(x)
     strips = []
     for idx, frame in enumerate(probs):
-        resized = np.ones((64, 64, 3)) * _resize_nn(
+        resized = np.ones((64, 64, 3)) * _resize_bilinear(
             frame, (64, 64))[:, :, None]
         clean_mask = resized > 0.7
         masked_rgb = rgb[idx] * resized
-        frame_labels = _resize_nn(labels[idx].astype(np.float32),
-                                  (64, 64))
-        nearest = np.rint(frame_labels)
-        cleaned = np.where(np.isin(nearest, wtlabelset), nearest, 0)
+        frame_labels = _resize_bilinear(labels[idx].astype(np.float32),
+                                        (64, 64))
+        # the reference's clean() mutates frame_labels IN PLACE and
+        # tests raw bilinear floats for set membership
+        # (TrainHandler.py:2798-2804), so BOTH the value and hue
+        # channels render the cleaned map — reproduced, aliasing
+        # included
+        cleaned = np.where(np.isin(frame_labels, wtlabelset),
+                           frame_labels, 0)
         labeled = np.ones((64, 64, 3))
         labeled[:, :, 2] = cleaned / embedder.n_cluster
-        labeled[:, :, 0] = frame_labels / embedder.n_cluster
+        labeled[:, :, 0] = cleaned / embedder.n_cluster
         labeled = hsv_to_rgb(np.clip(labeled, 0, 1))
         pic = np.concatenate((rgb[idx], masked_rgb, resized,
                               clean_mask, labeled), axis=1)

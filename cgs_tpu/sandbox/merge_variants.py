@@ -51,13 +51,15 @@ def percentile_split(preds: Array, hi: float = 0.8, lo: float = 0.2
                      ) -> Dict[str, Array]:
     """Sort-based split: high = preds >= value at the hi-percentile
     rank, low = preds <= value at the lo rank (the reference indexes
-    `sorted[8*len//10]` / `sorted[2*len//10]`). Returns boolean
+    `sorted[8*len//10]` / `sorted[2*len//10]`; the integer rank math
+    here reduces to exactly that for hi=0.8 / lo=0.2 and generalizes
+    to any hundredth without silent flooring). Returns boolean
     selectors and the threshold values; the reference asserts
     low != high (TrainHandler.py:1166)."""
     order = jnp.argsort(preds)
     n = preds.shape[0]
-    high = preds[order[int(hi * 10) * n // 10]]
-    low = preds[order[int(lo * 10) * n // 10]]
+    high = preds[order[min(n - 1, int(round(hi * 100)) * n // 100)]]
+    low = preds[order[min(n - 1, int(round(lo * 100)) * n // 100)]]
     return {"high": high, "low": low,
             "highsel": preds >= high, "lowsel": preds <= low}
 
@@ -114,6 +116,15 @@ def make_single_net_merge_step(
     merges the layers (TrainHandler.py:1763-1767); the zoo Unet must
     then be built with colorchs=3+n_cluster_channels.
 
+    Gradient topology parity: the reference's optimizer covers the
+    U-Net only — the external critic is NOT in `opti`
+    (TrainHandler.py:1703-1704), so merge-score gradients reach the
+    mask solely through Z and can never collapse the critic. With one
+    shared net here, the same topology is enforced by scoring merges
+    (and pred) with a weight-stopped parameter snapshot; only the
+    live critic loss (the reference's separate critic_opti,
+    :1742-1746) trains the critic head.
+
     Returns step(params, opt_state, x, y, key[, channels])
     -> (params, opt_state, metrics)."""
 
@@ -124,11 +135,15 @@ def make_single_net_merge_step(
                           critic=True).squeeze(-1)
 
     def loss_fn(params, x, y, key, channels):
-        pred_raw = forward_critic(params, x, channels)
+        # critic weights frozen for scoring (see docstring)
+        fparams = jax.lax.stop_gradient(params)
+        pred_raw = forward_critic(fparams, x, channels)
         pred = jax.nn.sigmoid(pred_raw)
         # reference quirk: BCE-with-logits ON THE SIGMOIDED pred
         # (TrainHandler.py:1742-1743) — double squashing, preserved
-        critic_loss = bce_with_logits(pred, y) if live else 0.0
+        critic_loss = (bce_with_logits(
+            jax.nn.sigmoid(forward_critic(params, x, channels)), y)
+            if live else 0.0)
 
         negmask = jax.lax.stop_gradient(pred) < (1.0 - threshold)
         logits = jnp.where(negmask, 0.0, -jnp.inf)
@@ -146,10 +161,10 @@ def make_single_net_merge_step(
         z = unet.apply({"params": params}, zin)
         merged = a * (1 - z) + z * b
         if channels is None:
-            mergevalue = forward_critic(params, merged, None)
+            mergevalue = forward_critic(fparams, merged, None)
         else:
             mergechs = channels * (1 - z) + z * channels[negatives]
-            mergevalue = forward_critic(params, merged, mergechs)
+            mergevalue = forward_critic(fparams, merged, mergechs)
         valueloss = bce_with_logits(mergevalue,
                                     jnp.zeros_like(mergevalue))
         loss = valueloss + critic_loss
@@ -196,24 +211,37 @@ def make_pair_merge_step(
     scores merges (the `-ucritic` path — the variant the reference can
     actually run; the external-critic path is main.py's modern loop).
 
-    use_copy scores merges with a frozen snapshot of the params (the
-    reference's `copy.deepcopy` critic_copy, TrainHandler.py:1110,
-    1226) — under jit this is stop_gradient on the critic apply, which
-    matches a per-step deepcopy exactly (the snapshot equals the
-    current params and receives no gradient).
+    Critic freezing parity (TrainHandler.py:1107-1113, 1226):
+
+      * live=True, use_copy=False — merges scored by the LIVE net
+        with gradients (the reference's `critic = lambda x:
+        self.unet.forward(x, critic=True)`; opti covers all params).
+      * live=True, use_copy=True — merges scored by a per-call
+        deepcopy (:1110) == per-step weight-stop-grad here (the
+        snapshot equals current params, receives no gradient).
+      * live=False — the reference freezes ONE deepcopy at setup
+        (:1112) and scores everything with it for the whole run. Pass
+        that snapshot as `frozen_params` to step() for exact
+        semantics; when omitted, a per-step weight-stopped snapshot
+        is used (targets track the current params instead of init —
+        documented approximation, still collapse-proof).
 
     live adds clossfak * MSE(sigmoid-free critic score, y)
     (TrainHandler.py:1215-1222 `-ucritic` branch folds it into the
     joint loss)."""
 
-    def critic_score(params, frames, frozen):
-        score = unet.apply({"params": params}, frames,
-                           critic=True).squeeze(-1)
-        return jax.lax.stop_gradient(score) if frozen else score
+    def critic_score(params, frames):
+        return unet.apply({"params": params}, frames,
+                          critic=True).squeeze(-1)
 
-    def loss_fn(params, a, y, b, negy, key):
-        pred = critic_score(params, a, False)
-        negpred = critic_score(params, b, False)
+    def loss_fn(params, a, y, b, negy, key, frozen_params):
+        fparams = (jax.lax.stop_gradient(params)
+                   if frozen_params is None else frozen_params)
+        # non-live: ALL scoring uses the frozen critic (:1112-1113)
+        score_params = params if live else fparams
+        merge_params = fparams if (use_copy or not live) else params
+        pred = critic_score(score_params, a)
+        negpred = critic_score(score_params, b)
 
         loss = 0.0
         critic_loss = jnp.mean((pred - y) ** 2)
@@ -222,7 +250,7 @@ def make_pair_merge_step(
 
         z = unet.apply({"params": params}, a)
         replaced = a * (1 - z) + z * b
-        replacevalue = critic_score(params, replaced, use_copy)
+        replacevalue = critic_score(merge_params, replaced)
         replaceloss = jnp.mean(
             (replacevalue - jax.lax.stop_gradient(negpred)) ** 2)
         loss = loss + lfak * replaceloss
@@ -230,7 +258,7 @@ def make_pair_merge_step(
         injectloss = 0.0
         if inject:
             injected = b * (1 - z) + z * a
-            injectvalue = critic_score(params, injected, use_copy)
+            injectvalue = critic_score(merge_params, injected)
             injectloss = jnp.mean(
                 (injectvalue - jax.lax.stop_gradient(pred)) ** 2)
             loss = loss + lfak * injectloss
@@ -251,9 +279,11 @@ def make_pair_merge_step(
                       "critic": critic_loss}
 
     @jax.jit
-    def step(params, opt_state, a, y, b, negy, key):
+    def step(params, opt_state, a, y, b, negy, key,
+             frozen_params=None):
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, a, y, b, negy, key)
+            loss_fn, has_aux=True)(params, a, y, b, negy, key,
+                                   frozen_params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, metrics
 

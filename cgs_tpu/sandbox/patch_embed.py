@@ -322,6 +322,9 @@ class PatchEmbedder:
         self.patch_embed_clusters = clusters
         self.patch_embed_cluster_tree_probs = probs
         self.embed_dim = embed_dim
+        # the 7-tuple doesn't carry n_cluster explicitly; it IS the
+        # centroid count (load must not keep the constructor default)
+        self.n_cluster = int(clusters.shape[0])
         self.pixel_clusters = pixel_clusters
         self.pw = w
         self.channels = list(channels)

@@ -27,11 +27,18 @@ import numpy as np
 from matplotlib.colors import hsv_to_rgb
 
 
-def _resize(arr: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
-    """transforms.Resize stand-in (bilinear, like torchvision)."""
+def resize_bilinear(arr: np.ndarray,
+                    hw: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize to (height, width) — the shared
+    transforms.Resize / cv2.resize stand-in for the viz family (note
+    cv2 itself takes (width, height); this wrapper fixes the (h, w)
+    convention once)."""
     import cv2
-    return cv2.resize(arr.astype(np.float32), (size[1], size[0]),
+    return cv2.resize(arr.astype(np.float32), (hw[1], hw[0]),
                       interpolation=cv2.INTER_LINEAR)
+
+
+_resize = resize_bilinear  # internal call sites below
 
 
 class _PCAProjector:

@@ -81,6 +81,9 @@ def _frames(seed, n=8):
 
 
 def test_single_net_merge_trains(unet_state):
+    """With merge scoring frozen (collapse guard, see module
+    docstring) the trainable signals are the live critic loss and the
+    sparsity norm — both must decrease; everything stays finite."""
     unet, params, tx = unet_state
     step = make_single_net_merge_step(unet, tx, threshold=0.5,
                                       l1=0.1, live=True)
@@ -89,14 +92,15 @@ def test_single_net_merge_trains(unet_state):
     y = jnp.asarray(np.random.default_rng(4).integers(0, 2, 8),
                     jnp.float32)
     key = jax.random.PRNGKey(0)
-    losses = []
+    metrics = []
     p = params
-    for i in range(4):
+    for i in range(6):
         p, opt_state, m = step(p, opt_state, x, y,
                                jax.random.fold_in(key, i))
-        losses.append(float(m["loss"]))
-        assert np.isfinite(losses[-1])
-    assert losses[-1] < losses[0]
+        metrics.append({k: float(v) for k, v in m.items()})
+        assert np.isfinite(metrics[-1]["loss"])
+    assert metrics[-1]["critic"] < metrics[0]["critic"]
+    assert metrics[-1]["norm"] < metrics[0]["norm"]
     # params actually moved
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                      params, p)
@@ -182,3 +186,52 @@ def test_gaussian_blur_matches_torch_depthwise():
     # non-3/5 sizes are identity (quirk policy vs reference NameError)
     np.testing.assert_array_equal(
         np.asarray(gaussian_blur(jnp.asarray(x), 7)), x)
+
+
+def test_single_net_merge_critic_head_gets_no_merge_gradient(unet_state):
+    """Reference optimizer scoping (TrainHandler.py:1703-1704): the
+    merge loss must not train the critic head (collapse guard) — with
+    live=False the critic params receive ZERO gradient."""
+    unet, params, tx = unet_state
+    step = make_single_net_merge_step(unet, tx, threshold=0.5, l1=0.1)
+    opt_state = tx.init(params)
+    x = _frames(12)
+    p, _, _ = step(params, opt_state, x, jnp.zeros(8),
+                   jax.random.PRNGKey(0))
+    for name in ("crit0", "crit1"):
+        for leaf_a, leaf_b in zip(jax.tree.leaves(params[name]),
+                                  jax.tree.leaves(p[name])):
+            np.testing.assert_array_equal(np.asarray(leaf_a),
+                                          np.asarray(leaf_b))
+    # but the decoder DID move (gradient through Z)
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        params["dec0"], p["dec0"])))
+    assert moved > 0
+
+
+def test_pair_merge_nonlive_critic_frozen(unet_state):
+    """live=False scores everything with frozen weights
+    (TrainHandler.py:1112-1113): critic-head params must not move."""
+    unet, params, tx = unet_state
+    a, b = _frames(13), _frames(14)
+    step = make_pair_merge_step(unet, tx, l1=0.1)  # live=False
+    frozen = jax.tree.map(lambda v: v, params)  # setup-time snapshot
+    p, _, m = step(params, tx.init(params), a, jnp.zeros(8), b,
+                   jnp.zeros(8), jax.random.PRNGKey(0),
+                   frozen_params=frozen)
+    for name in ("crit0", "crit1"):
+        for la, lb in zip(jax.tree.leaves(params[name]),
+                          jax.tree.leaves(p[name])):
+            np.testing.assert_array_equal(np.asarray(la),
+                                          np.asarray(lb))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_percentile_split_hundredths():
+    rng = np.random.default_rng(5)
+    preds = jnp.asarray(rng.random(200, dtype=np.float32))
+    s = np.sort(np.asarray(preds))
+    out = percentile_split(preds, hi=0.85, lo=0.15)
+    assert float(out["high"]) == pytest.approx(s[170])
+    assert float(out["low"]) == pytest.approx(s[30])

@@ -201,3 +201,11 @@ def test_vis_unet_video(tmp_path):
     online = vis_unet(unet, params, frames, str(tmp_path),
                       online=True, scale=2)
     assert online.endswith("online-eval.mp4")
+
+
+def test_embed_tuple_restores_n_cluster(fitted):
+    """load_embed_tuple must not keep the constructor default
+    n_cluster=100 (vis_white_tree indexes clusters by it)."""
+    _, path = fitted
+    emb2 = PatchEmbedder().load_embed_tuple(path)
+    assert emb2.n_cluster == emb2.patch_embed_clusters.shape[0] == 8
