@@ -13,20 +13,23 @@ pointwise; trajectories statistically (SURVEY.md §4 item 2 extended).
 import numpy as np
 import pytest
 import torch
+import torch.nn.functional as F
 
 import jax
 import jax.numpy as jnp
 
 from cgs_tpu.core.config import Config
 from cgs_tpu.models.critic import Critic
+from cgs_tpu.models.decoder import UnetDecoder
 from cgs_tpu.models.torch_interop import (
-    CRITIC_KEYMAP, flax_to_torch_state, torch_state_to_flax,
+    CRITIC_KEYMAP, DECODER_KEYMAP, flax_to_torch_state,
+    torch_state_to_flax,
 )
-from cgs_tpu.train.losses import build_critic_loss
+from cgs_tpu.train.losses import build_critic_loss, build_masker_loss
 from cgs_tpu.train.steps import (
     init_train_state, make_critic_step, make_optimizer,
 )
-from tests.test_torch_parity import TorchCritic
+from tests.test_torch_parity import TorchCritic, TorchDecoder
 
 N_STEPS = 40
 
@@ -118,3 +121,83 @@ def test_critic_training_trajectory_statistically_locked(
     rel = np.abs(j - t) / np.maximum(t, 1e-8)
     assert rel.mean() < 0.05, f"mean rel loss gap {rel.mean():.4f}"
     assert abs(j.mean() - t.mean()) / t.mean() < 0.03
+
+
+@pytest.mark.parametrize("variant", ["default", "nonstatic_l2"])
+def test_masker_loss_and_grads_match_torch(rng, variant):
+    """Full masker-phase loss parity vs a torch mirror of
+    main.py:360-429: loss value AND every gradient (critic + masker)
+    agree pointwise. This pins the stop-grad topology numerically —
+    detach() placement on negpred/pred/valuefak is exactly where the
+    reference puts it (main.py:367,411,418).
+
+    default:      live + inject + staticnorm + L1 (production flags)
+    nonstatic_l2: valuefak = 1 - pred.detach(), L2, no inject
+                  (the main.py:417-419,428 branch)
+    """
+    static = variant == "default"
+    cfg = Config(dropout=0.0, shift=0,
+                 staticnorm=static, noinject=not static,
+                 L1=0.5 if static else 0.0,
+                 L2=0.0 if static else 0.3).derive()
+    assert cfg.live and cfg.inject is static
+
+    torch.manual_seed(7)
+    tc = TorchCritic(dropout=0.0)
+    td = TorchDecoder()
+    a_np = rng.random((6, 64, 64, 3)).astype(np.float32)
+    b_np = rng.random((6, 64, 64, 3)).astype(np.float32)
+    y_np = rng.random(6).astype(np.float32)
+
+    # ---- torch side: the reference loss, verbatim topology ----
+    A = torch.from_numpy(a_np.transpose(0, 3, 1, 2))
+    B = torch.from_numpy(b_np.transpose(0, 3, 1, 2))
+    Y = torch.from_numpy(y_np)
+    pred, embeds = tc(A)
+    pred = pred.squeeze()
+    negpred = tc(B)[0].squeeze().detach()
+    loss = cfg.lfak * F.mse_loss(pred, Y)
+    Z = td(A, embeds)
+    replaced = A * (1 - Z) + Z * B
+    loss = loss + F.mse_loss(tc(replaced)[0].squeeze(), negpred)
+    if cfg.inject:
+        injected = B * (1 - Z) + Z * A
+        loss = loss + F.mse_loss(tc(injected)[0].squeeze(),
+                                 pred.detach())
+    valuefak = 1 if static else 1 - pred.detach().view(-1, 1, 1, 1)
+    if cfg.L1:
+        loss = loss + cfg.L1 * F.l1_loss(valuefak * Z,
+                                         torch.zeros_like(Z))
+    if cfg.L2:
+        loss = loss + cfg.L2 * F.mse_loss(valuefak * Z,
+                                          torch.zeros_like(Z))
+    loss.backward()
+    tc_grads = {k: p.grad.numpy() for k, p in
+                zip(tc.state_dict().keys(), tc.parameters())}
+    td_grads = {k: p.grad.numpy() for k, p in
+                zip(td.state_dict().keys(), td.parameters())}
+
+    # ---- jax side: the production loss builder ----
+    cparams = torch_state_to_flax(
+        {k: v.numpy() for k, v in tc.state_dict().items()},
+        CRITIC_KEYMAP)
+    mparams = torch_state_to_flax(
+        {k: v.numpy() for k, v in td.state_dict().items()},
+        DECODER_KEYMAP)
+    loss_fn = build_masker_loss(cfg, Critic(dropout=0.0), UnetDecoder())
+    trainable = {"critic": cparams, "masker": mparams}
+    (jloss, aux), jgrads = jax.value_and_grad(loss_fn, has_aux=True)(
+        trainable, {}, jnp.asarray(a_np), jnp.asarray(y_np),
+        jnp.asarray(b_np), jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(jloss), float(loss), rtol=1e-5)
+    jc = flax_to_torch_state(
+        jax.tree.map(np.asarray, jgrads["critic"]), CRITIC_KEYMAP)
+    jm = flax_to_torch_state(
+        jax.tree.map(np.asarray, jgrads["masker"]), DECODER_KEYMAP)
+    for k, tg in tc_grads.items():
+        np.testing.assert_allclose(jc[k], tg, atol=2e-6,
+                                   err_msg=f"critic grad: {k}")
+    for k, tg in td_grads.items():
+        np.testing.assert_allclose(jm[k], tg, atol=2e-6,
+                                   err_msg=f"masker grad: {k}")
