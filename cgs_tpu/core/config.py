@@ -138,6 +138,7 @@ class Config:
     profile: str = ""            # xplane trace dir (jax.profiler)
     crf_rescale: bool = False    # per-frame mask rescale before CRF
     debug_nan: bool = False      # per-chunk NaN/Inf guards
+    serve_wait_ms: float = 2.0   # serve.py micro-batch window
     orbax: bool = False          # full-train-state ckpt + resume
 
     def derive(self) -> "Config":
@@ -251,6 +252,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-debug_nan", action="store_true")
     p.add_argument("-orbax", action="store_true")
     p.add_argument("-crf_rescale", action="store_true")
+    p.add_argument("--serve-wait-ms", type=float, default=2.0)
     return p
 
 

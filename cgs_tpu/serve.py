@@ -1,0 +1,313 @@
+"""Mask-inference serving (framework extension; the reference's only
+batch-inference surface is the offline `-process` folder walk,
+main.py:1103-1223 — it has no online serving story).
+
+TPU-idiomatic design: one `MaskPipeline` compiled at ONE static batch
+shape, fed by a micro-batcher that coalesces concurrent requests for
+up to `max_wait_ms` and pads them into a single dispatch. Requests
+cost one H2D of 12 KB/frame; the device program is the same fused
+critic+masker forward the offline path uses (pipeline.py), so serving
+throughput tracks the bench number until the NIC saturates.
+
+Run:  python -m cgs_tpu.serve --model my-run --port 8700
+API:  POST /segment        body = PNG/JPEG (64x64 RGB; ?resize=1 to
+                           auto-resize other sizes)
+                           ?variant=raw|thresholded|crf
+                           ?threshold=0.5   (thresholded/crf binarize)
+      -> image/png grayscale mask (input resolution)
+      GET  /healthz        -> JSON {status, dispatches, frames, ...}
+      GET  /stats          -> same JSON
+
+The flag grammar reuses the training CLI's (core/config.py): --model
+picks the run directory whose fingerprinted .pt checkpoints to load,
+--infer-batch caps the micro-batch (default 256 — latency-bound, not
+the offline 16k), --bf16/--crf behave as in `-process`.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from cgs_tpu.core.config import Config, parse_args
+
+VARIANTS = ("raw", "thresholded", "crf")
+
+
+@dataclass
+class _Request:
+    frame: np.ndarray                  # (64, 64, 3) uint8
+    done: threading.Event = field(default_factory=threading.Event)
+    mask: Optional[np.ndarray] = None  # (64, 64) f32 soft mask
+    pred: float = 0.0
+
+
+class MicroBatcher:
+    """Coalesce concurrent requests into fixed-shape device dispatches.
+
+    One worker thread owns the pipeline: it drains the queue (waiting
+    at most `max_wait_ms` after the first request arrives, up to
+    `batch` frames), pads to the static batch, runs ONE dispatch, and
+    completes every request's event. Static shapes mean exactly one
+    compiled program regardless of arrival pattern.
+    """
+
+    def __init__(self, pipeline, batch: int, max_wait_ms: float = 2.0):
+        self.pipeline = pipeline
+        self.batch = int(batch)
+        self.max_wait = max_wait_ms / 1000.0
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.stats = {"dispatches": 0, "frames": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, frame: np.ndarray, timeout: float = 30.0) -> _Request:
+        req = _Request(frame=frame)
+        self.q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("inference timed out")
+        return req
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _drain(self) -> list:
+        """Block for one request, then collect more until the batch is
+        full or max_wait has elapsed since the first arrival."""
+        try:
+            first = self.q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        reqs = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(reqs) < self.batch:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            try:
+                reqs.append(self.q.get(timeout=left))
+            except queue.Empty:
+                break
+        return reqs
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            reqs = self._drain()
+            if not reqs:
+                continue
+            frames = np.zeros((self.batch, 64, 64, 3), np.uint8)
+            for i, r in enumerate(reqs):
+                frames[i] = r.frame
+            out = self.pipeline.run(frames)
+            self.stats["dispatches"] += 1
+            self.stats["frames"] += len(reqs)
+            for i, r in enumerate(reqs):
+                r.mask = out.masks[i, :, :, 0]
+                r.pred = float(out.preds[i])
+                r.done.set()
+
+
+class MaskServer:
+    """Checkpointed models + micro-batcher + HTTP front."""
+
+    def __init__(self, cfg: Config, crf_fn=None):
+        import jax.numpy as jnp
+
+        from cgs_tpu.models.critic import Critic
+        from cgs_tpu.models.decoder import UnetDecoder
+        from cgs_tpu.pipeline import MaskPipeline
+        from cgs_tpu.train.checkpoints import load_model_pt
+
+        self.cfg = cfg
+        cdt = jnp.bfloat16 if cfg.bf16 else jnp.float32
+        critic = Critic(bottleneck=cfg.neck, chfak=cfg.chfak,
+                        dropout=cfg.dropout, compute_dtype=cdt)
+        masker = UnetDecoder(bottleneck=cfg.neck, chfak=cfg.chfak,
+                             compute_dtype=cdt)
+        params = self._load_params(cfg, critic, masker, load_model_pt)
+        batch = cfg.infer_batch or 256
+        pipe = MaskPipeline(critic, masker, params, batch_size=batch,
+                            eval_mode=not cfg.noevalmode, seed=cfg.seed)
+        # warm the two compiled programs before accepting traffic
+        pipe.run(np.zeros((1, 64, 64, 3), np.uint8))
+        pipe.run(np.zeros((batch, 64, 64, 3), np.uint8))
+        self.batcher = MicroBatcher(pipe, batch,
+                                    max_wait_ms=cfg.serve_wait_ms)
+        self.crf_fn = crf_fn
+        self.httpd: Optional[ThreadingHTTPServer] = None
+
+    @staticmethod
+    def _load_params(cfg, critic, masker, load_model_pt):
+        """Fingerprinted .pt checkpoints from the run dir (same layout
+        Handler saves, handler.py:87-94); random init where missing
+        (useful for smoke tests, loudly reported)."""
+        import jax
+
+        x0 = np.zeros((1, 64, 64, 3), np.float32)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
+        cp = critic.init({"params": k1}, x0, collect=True)["params"]
+        _, em = critic.apply({"params": cp}, x0, collect=True)
+        mp = masker.init({"params": k2}, x0, em)["params"]
+        params = {"critic": cp, "masker": mp}
+        paths = {
+            "critic": f"{cfg.name}/saves/critic-"
+                      f"{cfg.critic_fingerprint()}.pt",
+            "masker": f"{cfg.name}/saves/masker-"
+                      f"{cfg.masker_fingerprint()}.pt",
+        }
+        for name, path in paths.items():
+            loaded = load_model_pt(name, path)
+            if loaded is None:
+                print(f"[cgs-tpu serve] {path} not found — "
+                      f"serving a RANDOM {name}")
+            else:
+                print(f"[cgs-tpu serve] loaded {path}")
+                params[name] = loaded
+        return params
+
+    # -- request handling -------------------------------------------
+
+    def segment_bytes(self, body: bytes, variant: str = "raw",
+                      threshold: float = 0.5,
+                      resize: bool = False) -> bytes:
+        """image bytes -> PNG mask bytes (the HTTP-free core, also the
+        unit-test surface)."""
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(body)).convert("RGB")
+        w, h = img.size
+        if (w, h) != (64, 64):
+            if not resize:
+                raise ValueError(
+                    f"expected 64x64 input, got {w}x{h} "
+                    "(pass ?resize=1 to auto-resize)")
+            img = img.resize((64, 64), Image.BILINEAR)
+        frame = np.asarray(img, np.uint8)
+        req = self.batcher.submit(frame)
+        mask = req.mask
+        if variant == "crf":
+            if self.crf_fn is None:
+                raise ValueError("server started without --crf")
+            refined = self.crf_fn(frame[None], mask[None])
+            mask = np.asarray(refined)[0].astype(np.float32)
+        elif variant == "thresholded":
+            mask = (mask > threshold).astype(np.float32)
+        out = Image.fromarray(
+            (np.clip(mask, 0, 1) * 255).astype(np.uint8), "L")
+        if (w, h) != (64, 64):
+            out = out.resize((w, h), Image.NEAREST)
+        buf = io.BytesIO()
+        out.save(buf, format="PNG")
+        return buf.getvalue()
+
+    # -- HTTP front --------------------------------------------------
+
+    def make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):   # quiet access log
+                pass
+
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path in ("/healthz", "/stats"):
+                    self._json(200, {"status": "ok",
+                                     **server.batcher.stats,
+                                     "batch": server.batcher.batch})
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                if url.path != "/segment":
+                    self._json(404, {"error": "not found"})
+                    return
+                qs = parse_qs(url.query)
+                variant = qs.get("variant", ["raw"])[0]
+                if variant not in VARIANTS:
+                    self._json(400, {"error": f"variant must be one "
+                                              f"of {VARIANTS}"})
+                    return
+                try:
+                    threshold = float(
+                        qs.get("threshold",
+                               [str(server.cfg.binarymaskthreshold)])[0])
+                    n = int(self.headers.get("Content-Length", 0))
+                    png = server.segment_bytes(
+                        self.rfile.read(n), variant=variant,
+                        threshold=threshold,
+                        resize=qs.get("resize", ["0"])[0] == "1")
+                except (ValueError, TimeoutError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+
+        return Handler
+
+    def start(self, host: str = "127.0.0.1", port: int = 8700):
+        self.httpd = ThreadingHTTPServer((host, port),
+                                         self.make_handler())
+        return self.httpd
+
+    def serve_forever(self, host: str = "127.0.0.1", port: int = 8700):
+        httpd = self.start(host, port)
+        print(f"[cgs-tpu serve] listening on http://{host}:{port} "
+              f"(batch {self.batcher.batch}, "
+              f"wait {self.batcher.max_wait * 1000:.0f} ms)")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.shutdown()
+
+    def shutdown(self):
+        if self.httpd is not None:
+            self.httpd.shutdown()
+            self.httpd.server_close()
+            self.httpd = None
+        self.batcher.close()
+
+
+def main(argv=None):
+    import argparse
+
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument("--port", type=int, default=8700)
+    extra.add_argument("--host", type=str, default="127.0.0.1")
+    extra_ns, rest = extra.parse_known_args(argv)
+    cfg = parse_args(rest)
+    crf_fn = None
+    if cfg.crf:
+        from cgs_tpu.eval.crf import DenseCRF
+        crf_fn = DenseCRF(rescale=cfg.crf_rescale)
+    MaskServer(cfg, crf_fn=crf_fn).serve_forever(
+        host=extra_ns.host, port=extra_ns.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Serving layer (cgs_tpu/serve.py): micro-batch coalescing, the
+image->mask core, and the HTTP surface (framework extension — the
+reference has no online serving; its nearest surface is the offline
+-process folder walk, main.py:1103-1223)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cgs_tpu.core.config import parse_args
+from cgs_tpu.serve import MaskServer
+
+
+def _png(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    cfg = parse_args(["--infer-batch", "16", "--serve-wait-ms", "30",
+                      "--model", str(tmp_path_factory.mktemp("srv")
+                                     / "norun")])
+    srv = MaskServer(cfg)
+    yield srv
+    srv.batcher.close()
+
+
+def test_segment_bytes_raw_and_thresholded(server, rng):
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    png = server.segment_bytes(_png(frame))
+    out = Image.open(io.BytesIO(png))
+    assert out.size == (64, 64) and out.mode == "L"
+
+    png = server.segment_bytes(_png(frame), variant="thresholded",
+                               threshold=0.5)
+    vals = np.unique(np.asarray(Image.open(io.BytesIO(png))))
+    assert set(vals.tolist()) <= {0, 255}
+
+
+def test_wrong_size_rejected_unless_resize(server, rng):
+    frame = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="64x64"):
+        server.segment_bytes(_png(frame))
+    png = server.segment_bytes(_png(frame), resize=True)
+    assert Image.open(io.BytesIO(png)).size == (48, 32)  # PIL (w, h)
+
+
+def test_microbatch_coalesces_concurrent_requests(server, rng):
+    frames = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
+    d0 = server.batcher.stats["dispatches"]
+    results = [None] * 8
+
+    def go(i):
+        results[i] = server.batcher.submit(frames[i])
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r.mask.shape == (64, 64) for r in results)
+    dispatches = server.batcher.stats["dispatches"] - d0
+    assert dispatches < 8, f"no coalescing: {dispatches} dispatches"
+    # identical frame -> identical mask regardless of batch slot
+    a = server.batcher.submit(frames[0])
+    np.testing.assert_allclose(a.mask, results[0].mask, atol=1e-6)
+
+
+def test_http_surface(server, rng):
+    httpd = server.start(port=0)          # OS-assigned free port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["batch"] == 16
+
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        req = urllib.request.Request(
+            f"{base}/segment?variant=thresholded&threshold=0.4",
+            data=_png(frame), method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            out = Image.open(io.BytesIO(r.read()))
+        assert out.size == (64, 64)
+
+        # bad variant -> 400 json error
+        req = urllib.request.Request(f"{base}/segment?variant=nope",
+                                     data=_png(frame), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+
+        # wrong size without resize -> 400; with resize -> 200
+        small = _png(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+        req = urllib.request.Request(f"{base}/segment", data=small,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        req = urllib.request.Request(f"{base}/segment?resize=1",
+                                     data=small, method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert Image.open(io.BytesIO(r.read())).size == (32, 32)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
