@@ -10,7 +10,7 @@ Host-side artifact writers driven by :mod:`cgs_tpu.sandbox.patch_embed`
 from __future__ import annotations
 
 import os
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 from matplotlib.colors import hsv_to_rgb

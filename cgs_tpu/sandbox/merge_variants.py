@@ -34,7 +34,7 @@ host sync), built for `lax.scan` chunking like train/loops.py.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

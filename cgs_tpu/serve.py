@@ -54,22 +54,32 @@ class _Request:
 class MicroBatcher:
     """Coalesce concurrent requests into fixed-shape device dispatches.
 
-    One worker thread owns the pipeline: it drains the queue (waiting
-    at most `max_wait_ms` after the first request arrives, up to
-    `batch` frames), pads to the static batch, runs ONE dispatch, and
-    completes every request's event. Static shapes mean exactly one
-    compiled program regardless of arrival pattern.
+    Two threads pipeline the work: the dispatch thread drains the
+    queue (waiting at most `max_wait_ms` after the first request
+    arrives, up to `batch` frames), pads to the static batch, and
+    fires ONE async device dispatch; the completion thread performs
+    the blocking D2H readback and completes the request events. Since
+    jax dispatch is asynchronous, batch N+1 forms and launches while
+    batch N's results are still in flight — on high-RTT links
+    (tunneled TPUs) this hides the readback entirely. Static shapes
+    mean exactly one compiled program regardless of arrival pattern.
     """
 
-    def __init__(self, pipeline, batch: int, max_wait_ms: float = 2.0):
+    def __init__(self, pipeline, batch: int, max_wait_ms: float = 2.0,
+                 max_inflight: int = 2):
         self.pipeline = pipeline
         self.batch = int(batch)
         self.max_wait = max_wait_ms / 1000.0
         self.q: "queue.Queue[_Request]" = queue.Queue()
+        # bounded: backpressure instead of unbounded device-buffer growth
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=max_inflight)
         self.stats = {"dispatches": 0, "frames": 0}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
         self._thread.start()
+        self._completer.start()
 
     def submit(self, frame: np.ndarray, timeout: float = 30.0) -> _Request:
         req = _Request(frame=frame)
@@ -81,6 +91,7 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        self._completer.join(timeout=5)
 
     def _drain(self) -> list:
         """Block for one request, then collect more until the batch is
@@ -102,6 +113,8 @@ class MicroBatcher:
         return reqs
 
     def _loop(self) -> None:
+        import jax.numpy as jnp
+
         while not self._stop.is_set():
             reqs = self._drain()
             if not reqs:
@@ -109,12 +122,22 @@ class MicroBatcher:
             frames = np.zeros((self.batch, 64, 64, 3), np.uint8)
             for i, r in enumerate(reqs):
                 frames[i] = r.frame
-            out = self.pipeline.run(frames)
+            # async dispatch: returns device futures immediately
+            out = self.pipeline.run_device(jnp.asarray(frames))
             self.stats["dispatches"] += 1
             self.stats["frames"] += len(reqs)
+            self._inflight.put((reqs, out))   # blocks at max_inflight
+
+    def _complete_loop(self) -> None:
+        while not (self._stop.is_set() and self._inflight.empty()):
+            try:
+                reqs, out = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            pred, mask = np.asarray(out[0]), np.asarray(out[1])  # D2H
             for i, r in enumerate(reqs):
-                r.mask = out.masks[i, :, :, 0]
-                r.pred = float(out.preds[i])
+                r.mask = mask[i, :, :, 0]
+                r.pred = float(pred[i])
                 r.done.set()
 
 
@@ -139,9 +162,10 @@ class MaskServer:
         batch = cfg.infer_batch or 256
         pipe = MaskPipeline(critic, masker, params, batch_size=batch,
                             eval_mode=not cfg.noevalmode, seed=cfg.seed)
-        # warm the two compiled programs before accepting traffic
-        pipe.run(np.zeros((1, 64, 64, 3), np.uint8))
-        pipe.run(np.zeros((batch, 64, 64, 3), np.uint8))
+        # warm the (single, batch-shaped) compiled program before
+        # accepting traffic — the batcher always dispatches full pads
+        warm = pipe.run_device(jnp.zeros((batch, 64, 64, 3), jnp.uint8))
+        np.asarray(warm[1])
         self.batcher = MicroBatcher(pipe, batch,
                                     max_wait_ms=cfg.serve_wait_ms)
         self.crf_fn = crf_fn
