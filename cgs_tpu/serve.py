@@ -13,8 +13,10 @@ Run:  python -m cgs_tpu.serve --model my-run --port 8700
 API:  POST /segment        body = PNG/JPEG (64x64 RGB; ?resize=1 to
                            auto-resize other sizes)
                            ?variant=raw|thresholded|crf
-                           ?threshold=0.5   (thresholded/crf binarize)
-      -> image/png grayscale mask (input resolution)
+                           ?threshold=0.5   (thresholded only; crf
+                           refines the raw soft mask like -process)
+      -> image/png grayscale mask (input resolution);
+         400 = client error, 503 = inference failure/overload
       GET  /healthz        -> JSON {status, dispatches, frames, ...}
       GET  /stats          -> same JSON
 
@@ -49,6 +51,12 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     mask: Optional[np.ndarray] = None  # (64, 64) f32 soft mask
     pred: float = 0.0
+    error: Optional[str] = None        # batch-level failure message
+
+
+class ServerError(RuntimeError):
+    """Inference-side failure (device error, overload timeout) —
+    mapped to HTTP 5xx, unlike client ValueErrors (400)."""
 
 
 class MicroBatcher:
@@ -73,8 +81,9 @@ class MicroBatcher:
         self.q: "queue.Queue[_Request]" = queue.Queue()
         # bounded: backpressure instead of unbounded device-buffer growth
         self._inflight: "queue.Queue" = queue.Queue(maxsize=max_inflight)
-        self.stats = {"dispatches": 0, "frames": 0}
+        self.stats = {"dispatches": 0, "frames": 0, "errors": 0}
         self._stop = threading.Event()
+        self._dispatch_dead = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._completer = threading.Thread(target=self._complete_loop,
                                            daemon=True)
@@ -85,13 +94,27 @@ class MicroBatcher:
         req = _Request(frame=frame)
         self.q.put(req)
         if not req.done.wait(timeout):
-            raise TimeoutError("inference timed out")
+            raise ServerError("inference timed out")
+        if req.error is not None:
+            raise ServerError(req.error)
         return req
 
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        # the dispatch thread is dead, so every _inflight.put
+        # happens-before this point — the completer can now drain to
+        # empty without racing a late put (the shutdown race)
+        self._dispatch_dead.set()
         self._completer.join(timeout=5)
+        # fail whatever was queued but never drained
+        while True:
+            try:
+                req = self.q.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "server shutting down"
+            req.done.set()
 
     def _drain(self) -> list:
         """Block for one request, then collect more until the batch is
@@ -112,6 +135,15 @@ class MicroBatcher:
                 break
         return reqs
 
+    @staticmethod
+    def _fail(reqs, exc, stats) -> None:
+        stats["errors"] += 1
+        msg = f"{type(exc).__name__}: {exc}"
+        print(f"[cgs-tpu serve] batch failed: {msg}")
+        for r in reqs:
+            r.error = msg
+            r.done.set()
+
     def _loop(self) -> None:
         import jax.numpy as jnp
 
@@ -122,19 +154,29 @@ class MicroBatcher:
             frames = np.zeros((self.batch, 64, 64, 3), np.uint8)
             for i, r in enumerate(reqs):
                 frames[i] = r.frame
-            # async dispatch: returns device futures immediately
-            out = self.pipeline.run_device(jnp.asarray(frames))
+            try:
+                # async dispatch: returns device futures immediately
+                out = self.pipeline.run_device(jnp.asarray(frames))
+            except Exception as e:      # keep the thread alive —
+                self._fail(reqs, e, self.stats)  # fail the batch only
+                continue
             self.stats["dispatches"] += 1
             self.stats["frames"] += len(reqs)
             self._inflight.put((reqs, out))   # blocks at max_inflight
 
     def _complete_loop(self) -> None:
-        while not (self._stop.is_set() and self._inflight.empty()):
+        while not (self._dispatch_dead.is_set()
+                   and self._inflight.empty()):
             try:
                 reqs, out = self._inflight.get(timeout=0.1)
             except queue.Empty:
                 continue
-            pred, mask = np.asarray(out[0]), np.asarray(out[1])  # D2H
+            try:
+                # D2H readback — async dispatch errors surface HERE
+                pred, mask = np.asarray(out[0]), np.asarray(out[1])
+            except Exception as e:
+                self._fail(reqs, e, self.stats)
+                continue
             for i, r in enumerate(reqs):
                 r.mask = mask[i, :, :, 0]
                 r.pred = float(pred[i])
@@ -175,14 +217,18 @@ class MaskServer:
     def _load_params(cfg, critic, masker, load_model_pt):
         """Fingerprinted .pt checkpoints from the run dir (same layout
         Handler saves, handler.py:87-94); random init where missing
-        (useful for smoke tests, loudly reported)."""
+        (useful for smoke tests, loudly reported). Init runs on the
+        host CPU backend like Handler.reset_models — remote-compiling
+        the tiny init programs through a TPU tunnel costs ~45 s for
+        nothing."""
         import jax
 
-        x0 = np.zeros((1, 64, 64, 3), np.float32)
-        k1, k2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
-        cp = critic.init({"params": k1}, x0, collect=True)["params"]
-        _, em = critic.apply({"params": cp}, x0, collect=True)
-        mp = masker.init({"params": k2}, x0, em)["params"]
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            x0 = np.zeros((1, 64, 64, 3), np.float32)
+            k1, k2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
+            cp = critic.init({"params": k1}, x0, collect=True)["params"]
+            _, em = critic.apply({"params": cp}, x0, collect=True)
+            mp = masker.init({"params": k2}, x0, em)["params"]
         params = {"critic": cp, "masker": mp}
         paths = {
             "critic": f"{cfg.name}/saves/critic-"
@@ -226,7 +272,9 @@ class MaskServer:
             refined = self.crf_fn(frame[None], mask[None])
             mask = np.asarray(refined)[0].astype(np.float32)
         elif variant == "thresholded":
-            mask = (mask > threshold).astype(np.float32)
+            # >= to match the offline -process binarization
+            # (eval/segment.py: masks >= binarymaskthreshold)
+            mask = (mask >= threshold).astype(np.float32)
         out = Image.fromarray(
             (np.clip(mask, 0, 1) * 255).astype(np.uint8), "L")
         if (w, h) != (64, 64):
@@ -281,7 +329,12 @@ class MaskServer:
                         self.rfile.read(n), variant=variant,
                         threshold=threshold,
                         resize=qs.get("resize", ["0"])[0] == "1")
-                except (ValueError, TimeoutError) as e:
+                except ServerError as e:     # device failure/overload
+                    self._json(503, {"error": str(e)})
+                    return
+                except (ValueError, OSError) as e:
+                    # OSError covers PIL.UnidentifiedImageError on
+                    # malformed/empty bodies
                     self._json(400, {"error": str(e)})
                     return
                 self.send_response(200)

@@ -114,3 +114,57 @@ def test_http_surface(server, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_malformed_body_gets_400_not_connection_reset(server):
+    httpd = server.start(port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/segment",
+            data=b"this is not an image", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_threshold_boundary_matches_offline_process(server, rng):
+    """>= binarization like eval/segment.py — a pixel exactly at the
+    threshold is IN the mask."""
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    soft = server.batcher.submit(frame).mask
+    exact = float(soft[7, 9])
+    png = server.segment_bytes(_png(frame), variant="thresholded",
+                               threshold=exact)
+    out = np.asarray(Image.open(io.BytesIO(png)))
+    assert out[7, 9] == 255
+
+
+def test_batch_failure_fails_requests_but_not_the_server(server, rng):
+    from cgs_tpu.serve import ServerError
+
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    pipe = server.batcher.pipeline
+    orig = pipe.run_device
+    calls = {"n": 0}
+
+    def boom(frames):
+        calls["n"] += 1
+        raise RuntimeError("injected device failure")
+
+    pipe.run_device = boom
+    try:
+        with pytest.raises(ServerError, match="injected"):
+            server.batcher.submit(frame, timeout=10)
+    finally:
+        pipe.run_device = orig
+    assert calls["n"] == 1
+    assert server.batcher.stats["errors"] >= 1
+    # both threads survived: the next request completes normally
+    req = server.batcher.submit(frame, timeout=30)
+    assert req.mask.shape == (64, 64)
