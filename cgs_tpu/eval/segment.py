@@ -55,16 +55,13 @@ def load_folder(folder: str):
     return np.stack(frames) / 255.0, stems
 
 
-def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
-                   out_dir: str = None, write: bool = True) -> Dict:
-    """Run inference over a folder and write result PNGs. Returns the
-    variant arrays for testing. write=False keeps the (SPMD) compute
-    but skips the files — non-primary hosts of a multi-host run."""
-    x, stems = load_folder(folder)
+def _mask_variants(cfg, pipeline, x: np.ndarray, crf_fn=None):
+    """(preds, ordered variant list) for float frames x in [0,1] —
+    the allM construction (main.py:1160-1203), shared by the folder
+    and video drivers."""
     out = pipeline.run((x * 255).astype(np.uint8))
     preds, masks, sal = out.preds, out.masks, out.saliency
 
-    # ordered mask variants, mirroring allM (main.py:1160-1203)
     all_m: List[np.ndarray] = [masks.squeeze(-1)]
     if cfg.binarymaskthreshold:                  # main.py:1163-1167
         all_m.append((masks >= cfg.binarymaskthreshold).squeeze(-1)
@@ -83,6 +80,16 @@ def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
             all_m.append(crf_fn((x * 255).astype(np.uint8),
                                 sal_soft.squeeze(-1))
                          .astype(np.float32))
+    return preds, all_m
+
+
+def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
+                   out_dir: str = None, write: bool = True) -> Dict:
+    """Run inference over a folder and write result PNGs. Returns the
+    variant arrays for testing. write=False keeps the (SPMD) compute
+    but skips the files — non-primary hosts of a multi-host run."""
+    x, stems = load_folder(folder)
+    preds, all_m = _mask_variants(cfg, pipeline, x, crf_fn)
 
     out_dir = out_dir or cfg.mask_output_imgs
     if not write:
@@ -104,3 +111,67 @@ def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
                 Image.fromarray(m).save(os.path.join(
                     out_dir, f"{stem}-{VARIANT_COLUMNS[midx]}.png"))
     return {"preds": preds, "variants": all_m, "stems": stems}
+
+
+# -- video input (framework extension; the reference only reads image
+#    folders) ----------------------------------------------------------
+
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+def load_video(path: str):
+    """Decode a video into (N, 64, 64, 3) float frames in [0,1] + fps.
+    Unlike the folder contract (fixed 64x64, load_folder above),
+    frames are resized — FPV footage is never 64x64 natively."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 32.0
+    frames = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        if rgb.shape[:2] != (64, 64):
+            rgb = cv2.resize(rgb, (64, 64),
+                             interpolation=cv2.INTER_AREA)
+        frames.append(rgb)
+    cap.release()
+    if not frames:
+        raise RuntimeError(f"no decodable frames in {path}")
+    return np.stack(frames) / 255.0, float(fps)
+
+
+def segment_video(cfg, pipeline, path: str, crf_fn=None,
+                  out_dir: str = None, write: bool = True) -> Dict:
+    """-process on a video file: decode -> batched inference -> mask
+    videos. -concatenated writes one `{stem}_with_mask.mp4` strip
+    (input + every variant side by side, like the PNG strips); without
+    it, one `{stem}-{variant}.mp4` per variant — mirroring the folder
+    driver's naming verbatim."""
+    from cgs_tpu.utils.video import vidwrite
+
+    x, fps = load_video(path)
+    preds, all_m = _mask_variants(cfg, pipeline, x, crf_fn)
+
+    stem = os.path.splitext(os.path.basename(path))[0]
+    out_dir = out_dir or cfg.mask_output_imgs
+    if not write:
+        return {"preds": preds, "variants": all_m, "stems": [stem],
+                "fps": fps}
+    os.makedirs(out_dir, exist_ok=True)
+    rgb = (255 * x).astype(np.uint8)
+    mask_rgb = [np.repeat(
+        (255 * np.clip(m, 0, 1)).astype(np.uint8)[..., None],
+        3, axis=-1) for m in all_m]
+    if cfg.concatenated:
+        strip = np.concatenate([rgb] + mask_rgb, axis=2)
+        vidwrite(os.path.join(out_dir, f"{stem}_with_mask.mp4"),
+                 strip, framerate=max(int(round(fps)), 1))
+    else:
+        for midx, m in enumerate(mask_rgb):
+            vidwrite(os.path.join(
+                out_dir, f"{stem}-{VARIANT_COLUMNS[midx]}.mp4"),
+                m, framerate=max(int(round(fps)), 1))
+    return {"preds": preds, "variants": all_m, "stems": [stem],
+            "fps": fps}

@@ -30,7 +30,7 @@ from cgs_tpu.core.config import Config
 from cgs_tpu.data.collect import collect_data
 from cgs_tpu.data.loader import DataBundle, EpochLoader
 from cgs_tpu.eval.harness import evaluate, load_eval_set
-from cgs_tpu.eval.segment import segment_folder
+from cgs_tpu.eval.segment import VIDEO_EXTS, segment_folder
 from cgs_tpu.models.critic import Critic
 from cgs_tpu.models.decoder import UnetDecoder
 from cgs_tpu.parallel.mesh import (
@@ -530,8 +530,16 @@ class Handler:
         return ious
 
     def segment(self, folder: str) -> Dict:
-        """-process (main.py:1103-1223)."""
+        """-process (main.py:1103-1223). A --source-imgs path that is
+        a video FILE routes to the video driver (framework extension);
+        directories keep the reference folder semantics."""
         pipe = self._pipeline(salience=self.cfg.process_salience)
+        if os.path.isfile(folder) and \
+                folder.lower().endswith(VIDEO_EXTS):
+            from cgs_tpu.eval.segment import segment_video
+            return segment_video(self.cfg, pipe, folder,
+                                 crf_fn=self._crf_fn(),
+                                 write=self.primary)
         return segment_folder(self.cfg, pipe, folder,
                               crf_fn=self._crf_fn(),
                               write=self.primary)

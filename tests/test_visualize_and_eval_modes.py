@@ -100,6 +100,34 @@ def test_process_with_crf_outputs(handler, workdir):
     assert len(out["variants"]) == 3  # raw, thresholded, crf
 
 
+def test_process_video_input(handler, workdir):
+    """-process on a VIDEO file (extension): decodes, resizes to
+    64x64, writes {stem}_with_mask.mp4 with the concatenated strip /
+    per-variant mp4s without it."""
+    from cgs_tpu.utils.video import vidwrite
+
+    rng = np.random.default_rng(2)
+    src = workdir / "clip.mp4"
+    vidwrite(str(src),
+             rng.integers(0, 255, (12, 128, 96, 3), dtype=np.uint8),
+             framerate=8)
+
+    handler.cfg.concatenated = True
+    handler.cfg.mask_output_imgs = str(workdir / "vidout")
+    out = handler.segment(str(src))
+    assert out["stems"] == ["clip"] and out["fps"] == 8.0
+    assert out["variants"][0].shape == (12, 64, 64)
+    strip = workdir / "vidout" / "clip_with_mask.mp4"
+    assert strip.exists() and strip.stat().st_size > 0
+
+    handler.cfg.concatenated = False
+    handler.cfg.mask_output_imgs = str(workdir / "vidout2")
+    handler.segment(str(src))
+    names = os.listdir(workdir / "vidout2")
+    assert "clip-raw-mask.mp4" in names
+    assert "clip-thresholded-mask.mp4" in names
+
+
 def test_live_flags_not_warned_dead(capsys):
     """-cleaned and -viscritic are READ by the reference
     (main.py:739,1567) — they must not trigger the dead-flag notice."""
