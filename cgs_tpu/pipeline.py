@@ -162,6 +162,14 @@ class MaskPipeline:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def place_input(self, frames_u8: np.ndarray) -> Array:
+        """Host frames -> device array with the pipeline's input
+        placement (data-sharded over the mesh when meshed, plain
+        device array otherwise). Starts the H2D copy asynchronously."""
+        if self.mesh is not None:
+            return jax.device_put(frames_u8, self._data_sh)
+        return jnp.asarray(frames_u8)
+
     def run_device(self, frames_u8: Array) -> tuple:
         """Device-resident fast path: frames already on device, output
         stays on device. frames_u8: (N, H, W, 3) uint8, N multiple of
@@ -185,9 +193,7 @@ class MaskPipeline:
                                      chunk.dtype)], axis=0)
             # the device_put/asarray starts the H2D copy; dispatch is
             # async, so the next chunk's copy overlaps this compute
-            dev = jax.device_put(chunk, self._data_sh) \
-                if self.mesh is not None else jnp.asarray(chunk)
-            futures.append(self._fn(self.params, dev,
+            futures.append(self._fn(self.params, self.place_input(chunk),
                                     self._next_key()))
 
         preds, masks, sals = [], [], []

@@ -145,8 +145,6 @@ class MicroBatcher:
             r.done.set()
 
     def _loop(self) -> None:
-        import jax.numpy as jnp
-
         while not self._stop.is_set():
             reqs = self._drain()
             if not reqs:
@@ -156,7 +154,8 @@ class MicroBatcher:
                 frames[i] = r.frame
             try:
                 # async dispatch: returns device futures immediately
-                out = self.pipeline.run_device(jnp.asarray(frames))
+                out = self.pipeline.run_device(
+                    self.pipeline.place_input(frames))
             except Exception as e:      # keep the thread alive —
                 self._fail(reqs, e, self.stats)  # fail the batch only
                 continue
@@ -202,11 +201,19 @@ class MaskServer:
                              compute_dtype=cdt)
         params = self._load_params(cfg, critic, masker, load_model_pt)
         batch = cfg.infer_batch or 256
+        # --data-parallel N: shard each micro-batch dispatch over a
+        # DP mesh (multi-chip serving; parallel/mesh.py) — the
+        # pipeline pads the batch to a multiple of the mesh width
+        from cgs_tpu.parallel.mesh import local_mesh_or_none
+        mesh = local_mesh_or_none(cfg)
         pipe = MaskPipeline(critic, masker, params, batch_size=batch,
-                            eval_mode=not cfg.noevalmode, seed=cfg.seed)
+                            eval_mode=not cfg.noevalmode, seed=cfg.seed,
+                            mesh=mesh)
+        batch = pipe.batch      # mesh-rounded
         # warm the (single, batch-shaped) compiled program before
         # accepting traffic — the batcher always dispatches full pads
-        warm = pipe.run_device(jnp.zeros((batch, 64, 64, 3), jnp.uint8))
+        warm = pipe.run_device(pipe.place_input(
+            np.zeros((batch, 64, 64, 3), np.uint8)))
         np.asarray(warm[1])
         self.batcher = MicroBatcher(pipe, batch,
                                     max_wait_ms=cfg.serve_wait_ms)

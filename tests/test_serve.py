@@ -168,3 +168,25 @@ def test_batch_failure_fails_requests_but_not_the_server(server, rng):
     # both threads survived: the next request completes normally
     req = server.batcher.submit(frame, timeout=30)
     assert req.mask.shape == (64, 64)
+
+
+def test_meshed_serving_matches_single_device(tmp_path, rng):
+    """--data-parallel N: micro-batch dispatches shard over the DP
+    mesh; masks must match the unmeshed server exactly."""
+    args = ["--infer-batch", "16", "--serve-wait-ms", "5",
+            "--model", str(tmp_path / "norun")]
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+
+    plain = MaskServer(parse_args(args))
+    try:
+        want = plain.batcher.submit(frame).mask
+    finally:
+        plain.batcher.close()
+
+    meshed = MaskServer(parse_args(args + ["--data-parallel", "8"]))
+    try:
+        assert meshed.batcher.pipeline.mesh is not None
+        got = meshed.batcher.submit(frame).mask
+    finally:
+        meshed.batcher.close()
+    np.testing.assert_allclose(got, want, atol=1e-6)
