@@ -124,7 +124,6 @@ class Config:
     # these never change reference-compatible behavior at defaults
     seed: int = 0
     data_parallel: int = 0       # 0 = use all local devices
-    use_pallas: bool = True      # pallas kernels on TPU hot paths
     batch_size: int = 64         # critic-phase batch (main.py:113 default)
     infer_batch: int = 0         # eval/process batch; 0 = auto
                                  # (8192 on TPU, 128 elsewhere — the
@@ -243,7 +242,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # framework extensions (new flags; safe defaults)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-parallel", type=int, default=0)
-    p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("-synthetic_data", action="store_true")
     p.add_argument("--contrastive-min", type=int, default=500)
@@ -267,7 +265,6 @@ def parse_args(argv: Optional[list] = None) -> Config:
             if f.name in DEAD_FLAGS and val != getattr(cfg, f.name):
                 used_dead.append(f.name)
             setattr(cfg, f.name, val)
-    cfg.use_pallas = not ns.no_pallas
     if used_dead:
         print(f"[cgs-tpu] note: flags accepted for CLI compatibility but "
               f"unused (as in the reference): {used_dead}")

@@ -113,7 +113,12 @@ def collect_data(cfg, datadir: str = "runs/data/straight/",
     Resolution order: gzip cache -> synthetic fixture (if
     cfg.synthetic_data) -> MineRL download/iteration.
     """
-    path = cache_path(datadir, cfg.envname, cfg.datamode, cfg.datasize,
+    # the synthetic fixture gets its own cache namespace: the
+    # reference-format filename (byte-compatible with upstream caches)
+    # must never be shadowed by fixture data or vice versa
+    envname = f"synthetic-{cfg.envname}" if cfg.synthetic_data \
+        else cfg.envname
+    path = cache_path(datadir, envname, cfg.datamode, cfg.datasize,
                       cfg.gammas)
     if os.path.exists(path):
         print(f"loading existing dataset cache {path}")
@@ -122,7 +127,8 @@ def collect_data(cfg, datadir: str = "runs/data/straight/",
     size = cfg.datasize + cfg.testsize
     if cfg.synthetic_data:
         from cgs_tpu.data.synthetic import synthetic_dataset
-        x, y, i = synthetic_dataset(size, seed=cfg.seed)
+        gammas = tuple(float(g) for g in cfg.gammas.split("-"))
+        x, y, i = synthetic_dataset(size, seed=cfg.seed, gammas=gammas)
         save_cache(path, x, y, i)
         return x, y, i
 

@@ -56,7 +56,17 @@ def discounted_variants(reward: np.ndarray, gamma: float = 0.98,
     where fak decays exponentially and resets at chops, addfak
     accumulates +1 per chop then decays, rev* decay linearly with an
     accelerating step, sub counts down. Returns (selected frame
-    indices ascending, tuples (K, 6))."""
+    indices ascending, tuples (K, 6)).
+
+    Documented deviation: the reference guards its relchopidx reset
+    with `len(reward) + i == chops[chopidx]` (TrainHandler.py:3054),
+    which can never hold (LHS > len(reward) > any chop index), so
+    upstream relchopidx decrements monotonically and — once past
+    -trajsize-delay — skips every remaining frame, emitting only the
+    episode's TAIL trajectory regardless of earlier chops. We reset
+    relchopidx at each chop (the evident intent: per-chop relative
+    indices and one trajectory per chop), same defensible-reading
+    policy as the uninitialized-`add` quirk in data/collect.py."""
     chops = np.nonzero(reward)[0]
     if chops.size == 0:
         return np.zeros(0, np.int64), np.zeros((0, 6), np.float64)

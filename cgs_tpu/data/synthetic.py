@@ -78,20 +78,26 @@ def synthetic_episode(rng: np.random.Generator, length: int = 600,
             break
         approach = int(rng.integers(20, 30))
         center = int(rng.integers(16, width - 16))
-        for i in range(min(approach, length - t)):
+        n = min(approach, length - t)  # fixed BEFORE t advances: the
+        # reward must land on the final emitted approach frame even
+        # when the episode truncates the approach
+        for i in range(n):
             trunk_w = 3 + int(12 * i / approach)
             m = _trunk_mask(width, center, trunk_w)
             frames[t] = _render(rng, m)
             masks[t] = m
-            rewards[t] = 1.0 if i == min(approach, length - t) - 1 else 0.0
+            rewards[t] = 1.0 if i == n - 1 else 0.0
             t += 1
     return frames, rewards, masks
 
 
 def synthetic_dataset(n_frames: int = 4000, seed: int = 0,
-                      width: int = 64) -> Tuple[np.ndarray, np.ndarray,
-                                                np.ndarray]:
-    """(X, Y, I) in the collect_data contract (main.py:1295-1297)."""
+                      width: int = 64,
+                      gammas=(0.98, 0.97, 0.96, 0.95),
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(X, Y, I) in the collect_data contract (main.py:1295-1297).
+    gammas: discount factors for label rows 1-4 — collect_data passes
+    the parsed --gammas like the MineRL collector does."""
     rng = np.random.default_rng(seed)
     X = np.zeros((n_frames, width, width, 3), np.uint8)
     Y = np.zeros((7, n_frames), np.float32)
@@ -102,7 +108,7 @@ def synthetic_dataset(n_frames: int = 4000, seed: int = 0,
         add = min(len(frames), n_frames - t)
         X[t:t + add] = frames[:add]
         Y[:, t:t + add] = np.asarray(
-            build_label_matrix(rewards[:add]))
+            build_label_matrix(rewards[:add], gammas))
         I[t:t + add] = np.arange(add)
         t += add
     return X, Y, I

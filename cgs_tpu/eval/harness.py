@@ -34,7 +34,16 @@ def load_eval_set(cfg, evaldatapath: str = "red-trees/",
     come from that directory and GT is all-zero (the reference's
     eval(folder=...) / -resimages branch, main.py:917-918,925). Falls
     back to the synthetic fixture when the npy files are absent (they
-    are stripped from this mirror) or when -synthetic_data is set."""
+    are stripped from this mirror) or when -synthetic_data is set.
+
+    Documented deviation (folder mode): the upstream branch is
+    unrunnable as written — np.concatenate (not stack) of (64,64,3)
+    images yields (64N,64,3), then a shape-incompatible red-trees Y
+    and the [100:5000:2] subsample would apply to that ruin
+    (main.py:918,925-928). This reconstruction stacks the images,
+    uses all-zero GT, and evaluates ALL folder frames (no
+    [100:5000:2] subsample — folders are user-curated, unlike the
+    fixed red-trees dump)."""
     if folder:
         from cgs_tpu.eval.segment import load_folder
         x, _ = load_folder(folder)
@@ -113,23 +122,17 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
 
 def _mask_iou(cfg, masks: np.ndarray, gt: np.ndarray,
               hard: np.ndarray) -> float:
-    """Primary mask IoU. On TPU the threshold + intersection/union
-    reduction runs as the fused Pallas kernel (threshold never
-    materializes a hard-mask array in HBM); host numpy elsewhere —
-    cross-checked by tests/test_pallas_kernels.py."""
-    import jax
+    """Primary mask IoU — host numpy.
 
-    if getattr(cfg, "use_pallas", True) and \
-            jax.default_backend() == "tpu":
-        import jax.numpy as jnp
-
-        from cgs_tpu.ops.pallas_kernels import threshold_iou
-        n = masks.shape[0]
-        flat = jnp.asarray(masks.reshape(n, -1))
-        gts = jnp.asarray(gt.reshape(n, -1))
-        inter, union = threshold_iou(flat, gts,
-                                     float(cfg.eval_thresh))
-        return round(int(inter) / max(int(union), 1), 3)
+    The Pallas threshold_iou kernel was wired here through round 2 and
+    then demoted with numbers: by this point pipeline.run has already
+    brought the soft masks home AND `hard` is materialized for the
+    variants/video, so the kernel's no-hard-mask-in-HBM premise is
+    void — it just re-uploads ~50 MB to compute a scalar the host gets
+    in 23 ms (measured; the device path costs 781 ms through a
+    tunneled v5e and still >= an H2D of the masks co-located). The
+    kernel stays tested in tests/test_pallas_kernels.py for genuinely
+    device-resident masks."""
     return iou(hard, gt)
 
 

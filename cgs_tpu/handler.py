@@ -69,6 +69,10 @@ class Handler:
         self.mesh = local_mesh_or_none(cfg)
         self.primary = is_primary()  # host 0 owns artifacts/ckpts
         self.ious = (0.0, 0.0)      # best-so-far tracker (main.py:77)
+        self.last_ious: List[float] = []  # most recent eval() result
+        # (framework field: the reference tracker above deliberately
+        # never updates from eval(), matching main.py:1018 — callers
+        # like sandbox.multirun need the actual score)
         self.bestepoch = 0
 
         # models + params (--bf16: bfloat16 conv stacks, f32 params
@@ -525,8 +529,9 @@ class Handler:
         # Per-epoch best tracking lives in segmentation_training behind
         # -directeval (TrainHandler.py:1077-1080).
         print("\nRESULTS", ious)
+        self.last_ious = [float(v) for v in ious]
         self.metrics.write("eval", iou=ious[0],
-                           all_ious=[float(v) for v in ious])
+                           all_ious=self.last_ious)
         return ious
 
     def segment(self, folder: str) -> Dict:

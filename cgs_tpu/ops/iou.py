@@ -8,13 +8,25 @@ communication backend").
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 Array = jnp.ndarray
 
 
 def iou_counts(a: Array, b: Array):
-    """Partial sums for IoU. a, b: boolean (or {0,1}) arrays."""
+    """Partial sums for IoU. a, b: boolean (or {0,1}) arrays.
+
+    Host numpy inputs are reduced with numpy (milliseconds); anything
+    device-resident stays jnp so the counts can feed a psum inside jit
+    (multi-chip eval). Without this split, calling jnp ops on host
+    arrays uploads ~20 MB per eval through remote-TPU links and pays
+    several tiny-program dispatches."""
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        a = a.astype(bool)
+        b = b.astype(bool)
+        return np.sum(a & b), np.sum(a | b)
     a = a.astype(jnp.bool_)
     b = b.astype(jnp.bool_)
     inter = jnp.sum(a & b)

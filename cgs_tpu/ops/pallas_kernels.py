@@ -4,11 +4,19 @@ Status after measuring each kernel inside its production program on a
 real v5e (round 2; batch 32768 inference / 100-step scanned masker
 chunk, median of 3):
 
-  * `threshold_iou`  — WIRED (eval/harness.py:_mask_iou): mask
+  * `threshold_iou`  — NOT wired (demoted round 2 with numbers): mask
                        thresholding (main.py:964) fused with the IoU
-                       partial-sum reduction (main.py:1267-1268); hard
-                       masks never materialize in HBM, and the
-                       (inter, union) pair psum-reduces across chips.
+                       partial-sum reduction (main.py:1267-1268). It
+                       was wired into eval/harness.py:_mask_iou, but
+                       there the soft masks are already host numpy
+                       (pipeline.run output) and `hard` is already
+                       materialized for the variants/video — so the
+                       kernel's premise is void and it re-uploads
+                       ~50 MB to compute a scalar: measured 781 ms vs
+                       23 ms host numpy on the 2450-frame eval set
+                       (tunneled v5e). Kept (with tests) for genuinely
+                       device-resident masks, where the (inter, union)
+                       pair psum-reduces across chips.
   * `normalize_u8`   — NOT wired: measured 0.76x the XLA path
                        (568k -> 430k frames/s). XLA fuses the
                        uint8->f32/255 ingest into the first conv; a

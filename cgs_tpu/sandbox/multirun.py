@@ -25,7 +25,10 @@ def run_seeds(argv: List[str], runs: int,
         seed = base_seed + r
         handler = main(argv + ["--seed", str(seed),
                                "--model", _seeded_name(argv, seed)])
-        ious.append(float(handler.ious[0]))
+        # last_ious, NOT handler.ious: the reference-parity tracker is
+        # never updated by eval() (main.py:1018 is commented out)
+        ious.append(handler.last_ious[0] if handler.last_ious
+                    else float(handler.ious[0]))
         print(f"[multirun] seed {seed}: IoU {ious[-1]}")
 
     arr = np.asarray(ious)

@@ -25,10 +25,11 @@ import numpy as np
 from cgs_tpu.train.losses import ingest
 
 
-def make_sweep_fn(critic, batch: int = 4096,
-                  eval_mode: bool = True) -> Callable:
+def make_sweep_fn(critic) -> Callable:
     """Jitted full-dataset critic sweep: (cparams, x_all u8 (N,...))
-    -> preds (ceil(N/batch)*batch,) — caller trims padding."""
+    -> preds (ceil(N/batch)*batch,) — caller trims padding. Always
+    deterministic: the reference sweeps with critic.eval()
+    (main.py:240); batch geometry comes from the idx argument."""
 
     def sweep(cparams, x_all, idx):
         # idx: (C, batch) int32, pre-padded
@@ -51,7 +52,7 @@ def critic_sweep(critic, cparams, x_dev, n: int,
     n_chunks = -(-n // batch)
     idx = np.arange(n_chunks * batch, dtype=np.int32)
     idx = np.minimum(idx, n - 1).reshape(n_chunks, batch)
-    sweep = make_sweep_fn(critic, batch)
+    sweep = make_sweep_fn(critic)
     # idx stays host numpy (uncommitted): x_dev may live on a
     # multi-process global mesh, and a locally-committed jnp array
     # cannot mix with global operands in one jit

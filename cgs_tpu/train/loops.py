@@ -203,16 +203,3 @@ def make_masker_viz_fn(cfg, critic, masker) -> Callable:
     return jax.jit(viz)
 
 
-def make_critic_infer_fn(critic, eval_mode: bool = True) -> Callable:
-    """Jitted batched critic sweep used by contrastive extraction
-    (main.py:245-253): (params, x_all u8, idx (B,)) -> pred (B,)."""
-
-    def infer(cparams, x_all, idx, key):
-        xb = ingest(jnp.take(x_all, idx, axis=0))
-        pred = critic.apply(
-            {"params": cparams}, xb,
-            deterministic=eval_mode,
-            rngs=None if eval_mode else {"dropout": key})
-        return pred.squeeze(-1)
-
-    return jax.jit(infer)

@@ -82,3 +82,67 @@ def test_cache_integrity_hash(tmp_path):
         load_cache(p)
     os.remove(p + ".sha256")  # no sidecar -> loads (maybe garbage,
     # but reference-format compatibility preserved)
+
+
+def test_synthetic_cache_namespace_isolated(tmp_path, monkeypatch):
+    """A -synthetic_data run must NOT shadow (or be shadowed by) the
+    reference-format cache for the same envname/datasize/gammas."""
+    monkeypatch.chdir(tmp_path)
+    cfg_real = Config(datasize=40, testsize=10)
+    x, y, i = _triple(50)
+    p = cache_path("runs/data/straight/", cfg_real.envname,
+                   cfg_real.datamode, cfg_real.datasize,
+                   cfg_real.gammas)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with gzip.GzipFile(p, "wb") as fp:
+        pickle.dump((x, y, i), fp)
+
+    cfg_syn = Config(datasize=40, testsize=10, synthetic_data=True)
+    xs, ys, _ = collect_data(cfg_syn)
+    assert not np.array_equal(xs, x), \
+        "synthetic run loaded the real-data cache"
+    # and the real-data cache is still served to non-synthetic runs
+    x2, _, _ = collect_data(cfg_real)
+    np.testing.assert_array_equal(x2, x)
+
+
+def test_synthetic_labels_honor_gammas(tmp_path, monkeypatch):
+    """--gammas reaches the synthetic label matrix (rows 1-4) like it
+    does the MineRL collector (collect.py:150)."""
+    monkeypatch.chdir(tmp_path)
+    base = dict(datasize=300, testsize=0, synthetic_data=True)
+    _, y_default, _ = collect_data(Config(**base))
+    monkeypatch.chdir(tmp_path / "..")  # fresh cwd -> fresh cache dir
+    d2 = tmp_path.parent / "g2"
+    d2.mkdir(exist_ok=True)
+    monkeypatch.chdir(d2)
+    _, y_custom, _ = collect_data(
+        Config(**base, gammas="0.5-0.4-0.3-0.2"))
+    # row 0 (binary reward) identical; discounted rows differ
+    np.testing.assert_array_equal(y_default[0], y_custom[0])
+    assert not np.allclose(y_default[1], y_custom[1])
+    # gamma=0.5 decays faster than 0.98 -> strictly smaller mean
+    assert y_custom[1].mean() < y_default[1].mean()
+
+
+def test_synthetic_reward_on_final_approach_frame():
+    """Every reward=1 frame is the LAST trunk-visible frame of its
+    approach (next frame trunkless or episode end) — including
+    truncated approaches at the episode tail."""
+    from cgs_tpu.data.synthetic import synthetic_episode
+    rng = np.random.default_rng(123)
+    for _ in range(5):
+        frames, rewards, masks = synthetic_episode(rng, length=600)
+        has_trunk = masks.any(axis=(1, 2))
+        fired = np.nonzero(rewards)[0]
+        assert fired.size, "episode produced no reward"
+        for t in fired:
+            assert has_trunk[t], "reward on a trunkless frame"
+            if t + 1 < len(rewards):
+                assert not has_trunk[t + 1], \
+                    "trunk survived past its reward frame"
+        # every approach ends in a reward: count trunk segments
+        starts = np.nonzero(has_trunk[1:] & ~has_trunk[:-1])[0] + 1
+        if has_trunk[0]:
+            starts = np.concatenate([[0], starts])
+        assert len(fired) == len(starts)

@@ -111,3 +111,10 @@ def test_pt_checkpoint_is_torch_loadable(trained, workdir):
     state = torch.load(str(pt), weights_only=True)
     assert state["features.0.weight"].shape == (8, 3, 3, 3)
     assert state["crit.4.weight"].shape == (1, 32)
+
+
+def test_eval_reports_last_ious(trained):
+    """handler.last_ious carries the actual eval scores; the
+    reference-parity tracker handler.ious stays un-updated by eval()
+    (main.py:1018) — sandbox.multirun aggregates from last_ious."""
+    assert trained.last_ious and 0.0 <= trained.last_ious[0] <= 1.0

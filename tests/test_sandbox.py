@@ -260,3 +260,26 @@ def test_dev_artifacts(tmp_path):
     np.testing.assert_array_equal(y, y2)
     import os as _os
     assert _os.path.getsize(png) > 0
+
+
+def test_multirun_aggregates_last_ious(tmp_path, monkeypatch):
+    """run_seeds must read the per-run eval score (last_ious), not the
+    never-updated reference tracker handler.ious."""
+    from cgs_tpu.sandbox import multirun
+
+    class FakeHandler:
+        def __init__(self, seed):
+            self.ious = (0.0, 0.0)          # reference tracker: stuck
+            self.last_ious = [0.5 + seed / 10.0]
+
+    def fake_main(argv):
+        seed = int(argv[argv.index("--seed") + 1])
+        return FakeHandler(seed)
+
+    import cgs_tpu.cli
+    monkeypatch.setattr(cgs_tpu.cli, "main", fake_main)
+    monkeypatch.chdir(tmp_path)
+    out = multirun.run_seeds(["-train", "-eval"], runs=3)
+    assert out["ious"] == [0.5, 0.6, 0.7]
+    assert abs(out["mean"] - 0.6) < 1e-9
+    assert "mean=0.600" in open(tmp_path / "results.txt").read()
