@@ -25,11 +25,20 @@ def main(argv: Optional[list] = None) -> Handler:
     cfg = parse_args(argv)
     handler = Handler(cfg)
 
+    # --profile: ONE xplane trace spanning every dispatched phase
+    # (critic, masker, eval, process) — try/finally so a mid-run
+    # exception still flushes the trace
+    with handler.profiler.trace():
+        _dispatch(cfg, handler)
+    return handler
+
+
+def _dispatch(cfg, handler: Handler) -> None:
     if cfg.train:
         handler.load_data()
     if cfg.trainasvis:                 # main.py:1551-1553
         handler.visualize()
-        return handler
+        return
     if cfg.cload:                      # main.py:1554-1557
         handler.load_models([CRITIC])
     if cfg.mload:
@@ -47,7 +56,6 @@ def main(argv: Optional[list] = None) -> Handler:
         handler.visualize()
     if cfg.process:                    # main.py:1569-1570
         handler.segment(folder=cfg.source_imgs)
-    return handler
 
 
 if __name__ == "__main__":

@@ -256,8 +256,9 @@ class Handler:
 
         llog: List[float] = []
         t0 = time.time()
-        if cfg.profile:
-            self.profiler.start()
+        # --profile tracing is owned by cli.main (one trace spanning
+        # BOTH phases + eval; a phase-local start/stop would miss the
+        # masker phase and leak the trace on exceptions)
         for epoch in range(start_epoch, cfg.cepochs):
             b_idx = 0
             for idx in loader.chunks(cfg.visevery):
@@ -303,8 +304,6 @@ class Handler:
             if self.primary:
                 save_loss_plot(result_path + "_loss.png", llog,
                                ["Train Loss"])
-        if cfg.profile:
-            self.profiler.stop()
         if ckpt_mgr is not None:
             ckpt_mgr.wait()
         steps_total = len(llog)

@@ -284,13 +284,12 @@ class Unet(nn.Module):
                         "enc4")(p3))
 
         # critic head (nets.py:390-397,422-423). Both heads are always
-        # traced so the param tree is branch-independent; XLA dead-code
-        # eliminates whichever output is unused under jit.
+        # traced so the param tree is branch-independent (init under
+        # either flag yields the FULL tree); XLA dead-code eliminates
+        # whichever output is unused under jit.
         h = x4.reshape((x4.shape[0], -1))
         h = nn.relu(_dense(32, self.bottleneck, "crit0")(h))
         score = _dense(1, 32, "crit1")(h)
-        if critic:
-            return score
 
         u3 = acti(_convT(dd[3], 4, 1, "VALID", self.bottleneck,
                          "dec4")(x4))
@@ -303,6 +302,8 @@ class Unet(nn.Module):
         up0 = upsample2x(u0)
         y = nn.sigmoid(_conv(1, 3, 1, "SAME", e[0] + dd[0], "dec0")(
             jnp.concatenate([up0, up0], axis=-1)))  # quirk nets.py:437
+        if critic:
+            return score
         return (y, u0) if embeds else y
 
 

@@ -172,12 +172,14 @@ def broadcast_mask(z: Array, channels: int = 3) -> Array:
 # fused threshold + IoU partial sums
 # ---------------------------------------------------------------------
 
-def _thresh_iou_kernel(m_ref, gt_ref, scalars_ref, inter_ref,
+def _thresh_iou_kernel(m_ref, gt_ref, thresh_ref, n_ref, inter_ref,
                        union_ref):
     i = pl.program_id(0)
     block_n = m_ref.shape[0]
-    thresh = scalars_ref[0]
-    n_valid = scalars_ref[1].astype(jnp.int32)
+    thresh = thresh_ref[0]
+    # int32 scalar, NOT a float32 round-trip: above 2^24 rows a float32
+    # count would round and silently corrupt the padding mask
+    n_valid = n_ref[0]
     hard = m_ref[:] > thresh
     # Mosaic can't compare sub-32-bit int vectors — widen first
     gt = gt_ref[:].astype(jnp.int32) > 0
@@ -216,16 +218,17 @@ def threshold_iou(masks: Array, gt: Array, thresh: float,
     grid = (_cdiv(n, block_n),)
     spec = pl.BlockSpec((block_n, f), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    scalars = jnp.asarray([thresh, float(n)], jnp.float32)
     inter, union = pl.pallas_call(
         _thresh_iou_kernel,
         out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.int32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         grid=grid,
         in_specs=[spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         interpret=_interpret(),
-    )(masks, gt.astype(jnp.uint8), scalars)
+    )(masks, gt.astype(jnp.uint8),
+      jnp.asarray([thresh], jnp.float32), jnp.asarray([n], jnp.int32))
     return inter[0, 0], union[0, 0]

@@ -12,14 +12,18 @@ functions.
 
 from __future__ import annotations
 
-import sys
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-_EPS = sys.float_info.min  # parity: main.py:992 adds sys.float_info.min
+# main.py:992 adds sys.float_info.min — a float64 denormal that the
+# reference's float64 numpy keeps nonzero. In float32 it underflows to
+# 0.0, making the guard inert (0/0 = NaN saliency on ReLU-dead
+# frames); float32's own smallest normal keeps the semantics.
+_EPS = float(np.finfo(np.float32).tiny)
 
 
 def saliency_map(critic_apply, params, batch: Array,

@@ -37,9 +37,16 @@ def ensure_initialized(coordinator_address: Optional[str] = None,
         _env_int("JAX_PROCESS_ID")
 
     if coordinator_address is None and num_processes is None:
-        # single-host (or TPU-pod auto-detect via libtpu, which
-        # jax.distributed.initialize() handles with no args when the
-        # metadata server is present) — stay local.
+        # No explicit config. Standard Cloud-TPU multi-host pods set
+        # TPU_WORKER_HOSTNAMES (comma-separated worker list) without
+        # any JAX_* vars — there jax.distributed.initialize() with no
+        # args auto-detects via the TPU metadata. A lone hostname (or
+        # nothing) means single host: stay local and never touch the
+        # backend.
+        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+            jax.distributed.initialize()
+            _initialized = True
+            return jax.process_count() > 1
         _initialized = True
         return False
 

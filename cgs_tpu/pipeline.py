@@ -98,6 +98,9 @@ class MaskPipeline:
         deterministic = self.eval_mode
         salience = self.salience
         separate = self.separate
+        with_checksum = self.with_checksum  # snapshot like the other
+        # flags: mutating the attribute post-trace would be silently
+        # ignored by the compiled program
 
         pallas_ingest = self._pallas_ingest
 
@@ -134,7 +137,7 @@ class MaskPipeline:
 
             mask = masker.apply({"params": params["masker"]}, x, embeds)
             pred = pred.squeeze(-1)
-            if self.with_checksum:
+            if with_checksum:
                 # in-graph sync token: a scalar whose readback forces
                 # full materialization (bench plumbing, zero extra
                 # dispatches)
@@ -148,10 +151,15 @@ class MaskPipeline:
         """Swap in new params without retracing (params are a jit
         argument) — lets callers reuse one compiled pipeline across
         training epochs. Placement rules live in
-        parallel/mesh.py:replicate_tree."""
+        parallel/mesh.py:replicate_tree. The no-mesh branch device_puts
+        once too: leaving .pt-loaded host numpy in self.params would
+        re-upload the whole tree on EVERY dispatch (painful through
+        remote-TPU links)."""
         if self.mesh is not None:
             from cgs_tpu.parallel.mesh import replicate_tree
             params = replicate_tree(self.mesh, params)
+        else:
+            params = jax.device_put(params)
         self.params = params
 
     def _next_key(self):
@@ -179,7 +187,14 @@ class MaskPipeline:
     def run(self, frames_u8: np.ndarray) -> PipelineOutput:
         """Host-array path with chunking, padding, and async dispatch."""
         n = frames_u8.shape[0]
-        bs = min(self.batch, n) if n else self.batch
+        if n == 0:
+            h, w = frames_u8.shape[1:3] or (64, 64)
+            return PipelineOutput(
+                preds=np.zeros((0,), np.float32),
+                masks=np.zeros((0, h, w, 1), np.float32),
+                saliency=np.zeros((0, h, w, 1), np.float32)
+                if self.salience else None)
+        bs = min(self.batch, n)
         if self.mesh is not None:  # keep shards even
             ndata = self.mesh.shape["data"]
             bs = -(-bs // ndata) * ndata

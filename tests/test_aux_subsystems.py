@@ -104,3 +104,80 @@ def test_metrics_writer(tmp_path):
     assert lines[0]["kind"] == "loss" and lines[0]["step"] == 5
     assert lines[0]["loss"] == 0.25
     assert lines[1]["iou"] == 0.4
+
+
+def test_multihost_pod_autodetect(monkeypatch):
+    """TPU_WORKER_HOSTNAMES with multiple workers (standard Cloud-TPU
+    pod launch, no JAX_* vars) must trigger the no-arg
+    jax.distributed.initialize auto-detection."""
+    import jax
+    from cgs_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    multihost.ensure_initialized()
+    assert calls == [((), {})]
+
+    # lone hostname -> stays local, backend untouched
+    calls.clear()
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0")
+    assert multihost.ensure_initialized() is False
+    assert not calls
+
+
+def test_saliency_eps_no_nan_on_dead_gradients():
+    """float32-representable eps: all-zero saliency (ReLU-dead input
+    grads) must normalize to zeros, not NaN (the reference's
+    sys.float_info.min underflows to 0 in float32)."""
+    import numpy as np
+    from cgs_tpu.ops.saliency import (
+        normalize_saliency_global, normalize_saliency_topk)
+
+    sal = np.zeros((2, 8, 8, 1), np.float32)
+    preds = np.asarray([0.5, 0.9], np.float32)
+    for fn in (normalize_saliency_global, normalize_saliency_topk):
+        soft, hard = fn(sal, preds, 1.5)
+        assert np.isfinite(np.asarray(soft)).all(), fn.__name__
+        assert np.asarray(hard).sum() == 0
+
+
+def test_pipeline_empty_input_returns_empty_output():
+    import numpy as np
+    import jax
+    from cgs_tpu.models.critic import Critic
+    from cgs_tpu.models.decoder import UnetDecoder
+    from cgs_tpu.pipeline import MaskPipeline
+
+    key = jax.random.PRNGKey(0)
+    x0 = np.zeros((1, 64, 64, 3), np.float32)
+    critic, masker = Critic(dropout=0.0), UnetDecoder()
+    cp = critic.init({"params": key}, x0, collect=True)["params"]
+    _, em = critic.apply({"params": cp}, x0, collect=True)
+    mp = masker.init({"params": key}, x0, em)["params"]
+    pipe = MaskPipeline(critic, masker,
+                        {"critic": cp, "masker": mp}, batch_size=8)
+    out = pipe.run(np.zeros((0, 64, 64, 3), np.uint8))
+    assert out.preds.shape == (0,) and out.masks.shape == (0, 64, 64, 1)
+
+
+def test_profile_trace_spans_both_phases(tmp_path, monkeypatch):
+    """--profile through the CLI produces an xplane trace even when
+    the critic phase short-circuits via cload (the round-2 review
+    found only the critic phase was ever traced)."""
+    monkeypatch.chdir(tmp_path)
+    from cgs_tpu.cli import main
+
+    trace_dir = tmp_path / "trace"
+    main(["-train", "-synthetic_data", "--datasize", "400",
+          "--testsize", "50", "--cepochs", "2", "--mepochs", "1",
+          "--visevery", "10", "--dropout", "0", "--shift", "0",
+          "--contrastive-min", "5", "--model", "profrun",
+          # loose split thresholds: 2 epochs won't separate 0.7/0.3
+          "--high-rew-thresh", "0.4", "--low-rew-thresh", "0.6",
+          "--profile", str(trace_dir)])
+    dumped = list(trace_dir.rglob("*.xplane.pb"))
+    assert dumped, "no xplane trace written"

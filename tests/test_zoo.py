@@ -116,3 +116,20 @@ def test_printer_and_pass_are_identities(capsys):
     q = Pass()
     out = q.apply(q.init(jax.random.PRNGKey(0), x), x)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_unet_param_tree_branch_independent(rng):
+    """init under critic=True must yield the FULL tree (encoder +
+    critic head + decoder) so the same params serve both modes."""
+    import jax
+    import numpy as np
+    from cgs_tpu.models.zoo import Unet
+
+    x = rng.random((2, 64, 64, 3)).astype(np.float32)
+    p_crit = Unet().init(jax.random.PRNGKey(0), x,
+                         critic=True)["params"]
+    p_mask = Unet().init(jax.random.PRNGKey(0), x)["params"]
+    assert set(p_crit) == set(p_mask)
+    # and the critic-init params run mask-mode without missing leaves
+    y = Unet().apply({"params": p_crit}, x)
+    assert y.shape == (2, 64, 64, 1)
