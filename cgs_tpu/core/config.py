@@ -251,6 +251,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-orbax", action="store_true")
     p.add_argument("-crf_rescale", action="store_true")
     p.add_argument("--serve-wait-ms", type=float, default=2.0)
+    p.add_argument("--batch-size", type=int, default=64)
     return p
 
 

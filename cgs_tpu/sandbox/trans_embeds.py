@@ -60,13 +60,12 @@ def trans_embeds(frames_hsv: np.ndarray, out_dir: str,
         params = model.init(jax.random.PRNGKey(seed),
                             imagenet_normalize(xj))["params"]
 
-    @jax.jit
-    def embed(p, x):
-        _, embeds = model.apply({"params": p}, imagenet_normalize(x))
-        return embeds                       # (B, 64, 64, C)
-
-    full_embeds = embed(params, xj)
-    n_ch = full_embeds.shape[-1]
+    # channel count via shape-only tracing — no compile, no forward
+    # (simmaps below is the single compiled VGG program)
+    n_ch = jax.eval_shape(
+        lambda p, x: model.apply({"params": p},
+                                 imagenet_normalize(x))[1],
+        params, xj).shape[-1]
     scopes = [(i * step, i * step + interval)
               for i in range(n_ch // step)]  # TrainHandler.py:1446
     if max_scopes is not None:

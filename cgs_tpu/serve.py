@@ -102,10 +102,12 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
-        # the dispatch thread is dead, so every _inflight.put
-        # happens-before this point — the completer can now drain to
-        # empty without racing a late put (the shutdown race)
-        self._dispatch_dead.set()
+        # Only when the join actually reaped the thread is every
+        # _inflight.put ordered before this point; a timed-out join
+        # (dispatch wedged in a device call) must NOT release the
+        # completer, or the wedged batch's requests would hang
+        if not self._thread.is_alive():
+            self._dispatch_dead.set()
         self._completer.join(timeout=5)
         # fail whatever was queued but never drained
         while True:
@@ -343,6 +345,11 @@ class MaskServer:
                     # OSError covers PIL.UnidentifiedImageError on
                     # malformed/empty bodies
                     self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:       # e.g. CRF RuntimeError —
+                    # a dropped connection is worse than any status
+                    self._json(500, {"error": f"{type(e).__name__}: "
+                                              f"{e}"})
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")

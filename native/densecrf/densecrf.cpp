@@ -45,7 +45,8 @@ int cgs_densecrf(const uint8_t* img, const float* prob, int H, int W,
                  int C, float w1, float alpha, float beta, float w2,
                  float gamma, int iters, uint8_t* out) {
   const int N = H * W;
-  if (N <= 0 || C <= 0) return 1;
+  // C capped by the fixed msg[]/e[] stack buffers below
+  if (N <= 0 || C <= 0 || C > 64) return 1;
 
   // ---- lattices --------------------------------------------------
   std::vector<float> feat_b(static_cast<size_t>(N) * 5);

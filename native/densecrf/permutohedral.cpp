@@ -30,9 +30,15 @@ void Permutohedral::init(const float* features, int n, int d) {
   table.reserve(static_cast<size_t>(n) * 2);
 
   // Embedding scales (paper eq.: E maps R^d onto the hyperplane
-  // sum(x)=0 in R^{d+1} with unit-variance blur per axis).
+  // sum(x)=0 in R^{d+1} with unit-variance blur per axis). The
+  // canonical factor is sqrt(2/3)*(d+1) (Adams et al. / Krähenbühl's
+  // implementation); getting it wrong rescales every kernel std —
+  // the round-2 review caught an earlier sqrt(3/2)/(d+1) variant
+  // here that inflated the effective std by (2/3)(d+1), i.e. 2x for
+  // the spatial lattice and 4x for the bilateral one (verified by
+  // filtering a delta and measuring the response std).
   std::vector<float> scale(d);
-  const float inv_std = 1.0f / std::sqrt(2.0f / 3.0f) / (d + 1);
+  const float inv_std = std::sqrt(2.0f / 3.0f) * (d + 1);
   for (int i = 0; i < d; ++i)
     scale[i] = inv_std / std::sqrt(
         static_cast<float>((i + 1) * (i + 2)));
@@ -51,7 +57,7 @@ void Permutohedral::init(const float* features, int n, int d) {
     // 1. elevate onto the hyperplane
     float sm = 0.f;
     for (int j = d; j > 0; --j) {
-      float cf = f[j - 1] * scale[j - 1] * (d + 1);
+      float cf = f[j - 1] * scale[j - 1];
       elevated[j] = sm - j * cf;
       sm += cf;
     }

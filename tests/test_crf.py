@@ -1,5 +1,7 @@
 """C++ denseCRF (native/densecrf) correctness tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -99,3 +101,18 @@ def test_crf_rescale_rescues_underconfident_masks(rng):
     a = DenseCRF()(img[None], conf[None])[0]
     b = DenseCRF(rescale=True)(img[None], conf[None])[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_native_permutohedral_scale_regression():
+    """`make test` in native/densecrf asserts the lattice's effective
+    Gaussian std is ~1.0 in feature units (the canonical
+    sqrt(2/3)*(d+1) elevation factor) for both the spatial (d=2) and
+    bilateral (d=5) kernels."""
+    import subprocess
+    r = subprocess.run(
+        ["make", "-C",
+         os.path.join(os.path.dirname(__file__), "..", "native",
+                      "densecrf"), "test"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("OK") == 2, r.stdout

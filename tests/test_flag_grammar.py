@@ -122,3 +122,8 @@ def test_full_kitchen_sink_invocation_parses():
 def test_unknown_flag_rejected():
     with pytest.raises(SystemExit):
         parse_args(["--definitely-not-a-flag"])
+
+
+def test_extension_batch_size_flag():
+    assert parse_args([]).batch_size == 64
+    assert parse_args(["--batch-size", "128"]).batch_size == 128
