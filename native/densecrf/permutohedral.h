@@ -10,7 +10,7 @@
 #pragma once
 
 #include <cstddef>
-#include <unordered_map>
+#include <cstring>
 #include <vector>
 
 namespace cgs {
