@@ -28,15 +28,16 @@ def main():
     from cgs_tpu import Critic, UnetDecoder
     from cgs_tpu.pipeline import MaskPipeline
 
-    key = jax.random.PRNGKey(0)
     # bf16 conv stacks: 2x the f32 throughput on v5e; hard-mask IoU
     # vs the f32 path measured 1.0 at the 0.05 eval threshold
     critic = Critic(compute_dtype=jnp.bfloat16)
     masker = UnetDecoder(compute_dtype=jnp.bfloat16)
-    # init on the host CPU backend: remote-compiling throwaway init
-    # programs through a TPU tunnel costs ~45 s for nothing
-    # (CLAUDE.md gotcha; MaskPipeline device_puts the params anyway)
+    # init (incl. the PRNG seed program) on the host CPU backend:
+    # remote-compiling throwaway init programs through a TPU tunnel
+    # costs ~45 s for nothing (CLAUDE.md gotcha; MaskPipeline
+    # device_puts the params anyway)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        key = jax.random.PRNGKey(0)
         x0 = jnp.zeros((8, 64, 64, 3))
         cp = critic.init({"params": key}, x0, collect=True)["params"]
         _, em = critic.apply({"params": cp}, x0, collect=True)

@@ -125,17 +125,17 @@ def collect_data(cfg, datadir: str = "runs/data/straight/",
         return load_cache(path)
 
     size = cfg.datasize + cfg.testsize
+    gammas = tuple(float(g) for g in cfg.gammas.split("-"))
     if cfg.synthetic_data:
         from cgs_tpu.data.synthetic import synthetic_dataset
-        gammas = tuple(float(g) for g in cfg.gammas.split("-"))
         x, y, i = synthetic_dataset(size, seed=cfg.seed, gammas=gammas)
         save_cache(path, x, y, i)
         return x, y, i
 
-    return _collect_minerl(cfg, size, path)
+    return _collect_minerl(cfg, size, path, gammas)
 
 
-def _collect_minerl(cfg, size: int, path: str):
+def _collect_minerl(cfg, size: int, path: str, gammas):
     """MineRL trajectory sweep (main.py:1287-1350)."""
     try:
         import minerl
@@ -153,7 +153,6 @@ def _collect_minerl(cfg, size: int, path: str):
                             num_workers=cfg.workers[0],
                             worker_batch_size=cfg.workers[1])
 
-    gammas = tuple(float(g) for g in cfg.gammas.split("-"))
     X = np.zeros((size, 64, 64, 3), np.uint8)
     Y = np.zeros((7, size), np.float32)
     I = np.zeros(size, np.uint16)
@@ -191,7 +190,11 @@ def clean_data(cfg, datadir: str = "train/data/straight/",
     chunklen = 100
     min_delta = chunklen
     shift = 20
-    path = os.path.join(datadir, f"{cfg.datasize}-clean.pickle")
+    # same cache-namespace rule as collect_data: fixture and real
+    # cleaned datasets must never shadow each other
+    stem = f"synthetic-{cfg.datasize}" if cfg.synthetic_data \
+        else f"{cfg.datasize}"
+    path = os.path.join(datadir, f"{stem}-clean.pickle")
     if os.path.exists(path):
         return load_cache(path)
 

@@ -290,6 +290,10 @@ class Unet(nn.Module):
         h = x4.reshape((x4.shape[0], -1))
         h = nn.relu(_dense(32, self.bottleneck, "crit0")(h))
         score = _dense(1, 32, "crit1")(h)
+        if critic and not self.is_initializing():
+            # eager critic calls skip the dead decoder compute; init
+            # still traces it so the param tree stays branch-free
+            return score
 
         u3 = acti(_convT(dd[3], 4, 1, "VALID", self.bottleneck,
                          "dec4")(x4))

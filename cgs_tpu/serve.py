@@ -102,12 +102,11 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
-        # Only when the join actually reaped the thread is every
-        # _inflight.put ordered before this point; a timed-out join
-        # (dispatch wedged in a device call) must NOT release the
-        # completer, or the wedged batch's requests would hang
-        if not self._thread.is_alive():
-            self._dispatch_dead.set()
+        # _dispatch_dead is set by the dispatch thread's own finally
+        # (the only ordering that guarantees every _inflight.put
+        # happened-before): a wedged-then-recovering dispatch still
+        # releases the completer when it actually exits, instead of
+        # leaking a forever-polling thread
         self._completer.join(timeout=5)
         # fail whatever was queued but never drained
         while True:
@@ -147,6 +146,12 @@ class MicroBatcher:
             r.done.set()
 
     def _loop(self) -> None:
+        try:
+            self._loop_body()
+        finally:
+            self._dispatch_dead.set()
+
+    def _loop_body(self) -> None:
         while not self._stop.is_set():
             reqs = self._drain()
             if not reqs:

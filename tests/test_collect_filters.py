@@ -69,3 +69,32 @@ def test_clean_data_chunking(tmp_path, monkeypatch):
     # last 5 frames of each chunk relabeled 1 (main.py:1412-1413)
     assert cy[95:100].sum() == 5
     assert cy[:95].sum() == 0
+
+
+def test_clean_data_cache_namespace_isolated(tmp_path, monkeypatch):
+    """clean_data's cache must split the synthetic/real namespaces
+    like collect_data's (same shadowing class, second cache site)."""
+    import gzip
+    import pickle
+
+    from cgs_tpu.core.config import Config
+    from cgs_tpu.data.collect import clean_data
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (400, 64, 64, 3), dtype=np.uint8)
+    y = np.zeros((7, 400), np.float32)
+    y[0, [150, 350]] = 1.0
+    i = np.tile(np.arange(200, dtype=np.uint16), 2)
+
+    d = tmp_path / "cleandir"
+    d.mkdir()
+    # a REAL-data cleaned cache at this datasize
+    real = (x[:5], y[:, :5], i[:5])
+    with gzip.GzipFile(d / "400-clean.pickle", "wb") as fp:
+        pickle.dump(real, fp)
+
+    cfg = Config(datasize=400, testsize=0, synthetic_data=True)
+    xs, _, _ = clean_data(cfg, datadir=str(d) + "/", x=x, y=y, i=i)
+    assert xs.shape[0] != 5, "synthetic run loaded the real clean cache"
+    assert (d / "synthetic-400-clean.pickle").exists()
