@@ -81,7 +81,9 @@ class EpochLoader:
         steps = self.epoch_steps()
         total = steps * self.batch
         if total > self.n:
-            perm = np.concatenate([perm, perm[: total - self.n]])
+            # cyclic repeat handles n < batch too (a 30-frame dataset
+            # with batch 64 wraps the permutation twice-plus)
+            perm = np.resize(perm, total)
         return perm[:total].reshape(steps, self.batch)
 
     def chunks(self, chunk_steps: int) -> Iterator[np.ndarray]:

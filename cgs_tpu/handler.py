@@ -134,6 +134,17 @@ class Handler:
         return jax.device_put(idx,
                               index_sharding(self.mesh, idx.shape[1]))
 
+    def _sync_params(self, state) -> None:
+        """Copy EVERY param sub-tree (trained AND pass-through) from
+        the train state back into self.params. The chunk jits donate
+        the state (donate_argnums), which deletes the old buffers —
+        including un-trained pass-through leaves (e.g. the critic in
+        -frozen mode) that self.params still references on a
+        single-device run; syncing only the trained keys would leave
+        self.params holding deleted arrays."""
+        for name in state.params:
+            self.params[name] = state.params[name]
+
     def reset_models(self) -> None:
         """Fresh params (main.py:106-111). Initialization runs on the
         host CPU backend — remote-compiling the tiny init programs
@@ -218,8 +229,10 @@ class Handler:
     # -- phase 1: critic ----------------------------------------------
 
     def critic_pipe(self, mode: str = "train") -> None:
-        """Critic training (main.py:158-236)."""
+        """Critic training (main.py:158-236). mode="test" runs exactly
+        one epoch (main.py:182 `range(int(testf) or cepochs)`)."""
         cfg = self.cfg
+        n_epochs = 1 if mode == "test" else cfg.cepochs
         if cfg.cload and self.load_models([CRITIC]):
             print("loaded critic, no new training")
             return
@@ -259,9 +272,14 @@ class Handler:
         # --profile tracing is owned by cli.main (one trace spanning
         # BOTH phases + eval; a phase-local start/stop would miss the
         # masker phase and leak the trace on exceptions)
-        for epoch in range(start_epoch, cfg.cepochs):
+        for epoch in range(start_epoch, n_epochs):
             b_idx = 0
-            for idx in loader.chunks(cfg.visevery):
+            # the critic-phase viz cadence is the reference's
+            # hard-coded every-100-batches (main.py:204 `if not
+            # b_idx % 100`); --visevery only drives the MASKER phase
+            # (main.py:466) — so the chunk (= dispatch+viz) size here
+            # is the constant 100, not cfg.visevery
+            for idx in loader.chunks(100):
                 with self.profiler.annotate("critic_chunk"):
                     state, losses = chunk_fn(state, x_dev, y_dev,
                                              self._put_idx(idx),
@@ -439,8 +457,7 @@ class Handler:
                     ["replace", "inject", "norm", "live-critic"],
                     ymin_zero=False)
             if not (epoch + 1) % cfg.saveevery:   # main.py:565
-                for name in trained:
-                    self.params[name] = state.params[name]
+                self._sync_params(state)
                 self.save_models([MASKER])
             if ckpt_mgr is not None:
                 ckpt_mgr.save(epoch + 1, state)  # collective (see
@@ -450,8 +467,7 @@ class Handler:
                 # live feature (TrainHandler.py:1077-1080; dead behind
                 # `if False:` in main.py:568-572), surfaced here behind
                 # the -directeval flag
-                for name in trained:
-                    self.params[name] = state.params[name]
+                self._sync_params(state)
                 epoch_ious = self.eval()
                 if epoch_ious[0] > self.ious[0]:
                     self.ious = tuple(epoch_ious[:2]) if \
@@ -466,8 +482,7 @@ class Handler:
             self.metrics.write("masker_throughput",
                                steps_per_sec=total / dt)
         print()
-        for name in trained:
-            self.params[name] = state.params[name]
+        self._sync_params(state)
         self.save_models([MASKER])
 
     # -- eval / inference ---------------------------------------------

@@ -7,15 +7,19 @@ in HBM as uint8 (100k frames = 1.2 GB), so we:
 
   * keep X/Y resident on device across the entire phase,
   * upload only int32 batch-index arrays (a few hundred KB per epoch),
-  * run `visevery`-step chunks as ONE `lax.scan` program per chunk
-    (viz cadence = chunk boundary, matching main.py:204,466),
+  * run chunks as ONE `lax.scan` program per chunk (chunk size = the
+    viz cadence: the reference's hard-coded 100 batches for the
+    critic phase, main.py:204, and --visevery for the masker phase,
+    main.py:466),
   * gather batches on-device with `jnp.take`.
 
 Per-step math is identical to cgs_tpu/train/steps.py (shared loss
-builders); the viz tensors are recomputed at the chunk boundary from
-the current params — annotation values can differ in the last decimal
-from the reference's pre-update read, which is a documented viz-only
-deviation.
+builders). Documented viz-only deviation: the annotated strips are
+recomputed at the chunk boundary from the CURRENT params (up to
+chunk-size-1 optimizer steps newer than the reference's pre-update
+read, with fresh shift/dropout draws), so early-training annotation
+values differ visibly from upstream artifacts; losses, gradients,
+and trained params are unaffected.
 """
 
 from __future__ import annotations

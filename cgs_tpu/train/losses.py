@@ -130,12 +130,18 @@ def build_masker_loss(cfg, critic, masker, pallas_merge: bool = False):
         vf = 1.0 if staticnorm else (
             1.0 - jax.lax.stop_gradient(pred)[:, None, None, None])
         norm = jnp.asarray(0.0)
+        logged_norm = jnp.asarray(0.0)
         if l1:
-            norm = norm + l1 * jnp.mean(jnp.abs(vf * z))
+            logged_norm = l1 * jnp.mean(jnp.abs(vf * z))
+            norm = norm + logged_norm
         if l2:
-            norm = norm + l2 * jnp.mean((vf * z) ** 2)
+            # when BOTH penalties are on, the reference's log shows
+            # only the L2 term (`normloss` is overwritten,
+            # main.py:421-429); the total loss still contains both
+            logged_norm = l2 * jnp.mean((vf * z) ** 2)
+            norm = norm + logged_norm
         loss = loss + norm
-        aux["norm"] = norm
+        aux["norm"] = logged_norm
         aux["loss"] = loss
         return loss, aux
 

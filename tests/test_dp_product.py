@@ -224,3 +224,28 @@ def test_index_sharding_divisibility_fallback():
         h.critic_pipe()    # would raise at dispatch without fallback
     finally:
         _os.chdir(old)
+
+
+def test_frozen_single_device_params_survive_donation(workdir):
+    """-frozen on a SINGLE device (mesh None): the masker chunk's
+    buffer donation deletes the old state buffers, and self.params
+    aliases them — the full-tree _sync_params must restore every
+    sub-tree (incl. the un-trained critic) or the post-train eval
+    crashes on a deleted array. The 8-device test mesh masks this
+    (replication copies), so force data_parallel=1."""
+    import numpy as np
+
+    from cgs_tpu.cli import main
+
+    h = main(["-train", "-eval", "-synthetic_data", "--data-parallel",
+              "1", "-frozen", "--datasize", "800", "--testsize", "100",
+              "--cepochs", "3", "--visevery", "20", "--dropout", "0",
+              "--shift", "0", "--contrastive-min", "5",
+              "--high-rew-thresh", "0.02", "--low-rew-thresh", "0.98",
+              "--model", "frozenrun"])
+    assert h.mesh is None
+    # every param leaf is alive and fetchable
+    for tree in h.params.values():
+        import jax
+        jax.tree.map(np.asarray, tree)
+    assert h.last_ious

@@ -36,3 +36,14 @@ def test_databundle_split_and_threshrew():
     cfg2 = Config(testsize=20)
     d2 = DataBundle.from_arrays(x, y, i, cfg2)
     assert not set(np.unique(d2.y_train)) <= {0.0, 1.0}
+
+
+def test_epoch_indices_dataset_smaller_than_batch():
+    """n < batch must wrap cyclically, not crash (np.resize path);
+    the reference trains any dataset size via a partial final batch."""
+    from cgs_tpu.data.loader import EpochLoader
+
+    loader = EpochLoader(30, 64, np.random.default_rng(0))
+    idx = loader.epoch_indices()
+    assert idx.shape == (1, 64)
+    assert set(idx.ravel().tolist()) == set(range(30))

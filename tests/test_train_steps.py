@@ -189,3 +189,36 @@ def test_bce_matches_torch_clamp_at_saturation():
     g = jax.grad(lambda p: bce(p, jnp.asarray(target)))(
         jnp.asarray(pred))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_norm_logging_matches_reference_overwrite(rng):
+    """With BOTH L1 and L2 on, the logged 'norm' is the L2 term only
+    (the reference overwrites normloss, main.py:421-429) while the
+    total loss contains both."""
+    from cgs_tpu.core.config import Config
+    from cgs_tpu.models.critic import Critic
+    from cgs_tpu.models.decoder import UnetDecoder
+    from cgs_tpu.train.losses import build_masker_loss
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Config(dropout=0.0, shift=0, L1=0.5, L2=4.0).derive()
+    critic, masker = Critic(dropout=0.0), UnetDecoder()
+    a = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.random(2).astype(np.float32))
+    k = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    cp = critic.init({"params": k}, x0, collect=True)["params"]
+    _, em = critic.apply({"params": cp}, x0, collect=True)
+    mp = masker.init({"params": k}, x0, em)["params"]
+
+    loss_fn = build_masker_loss(cfg, critic, masker)
+    (_, aux), _ = jax.value_and_grad(loss_fn, has_aux=True)(
+        {"critic": cp, "masker": mp}, {}, a, y, b, k)
+    z = np.asarray(aux["z"])
+    l2_term = 4.0 * np.mean(z ** 2)       # staticnorm: vf == 1
+    l1_term = 0.5 * np.mean(np.abs(z))
+    np.testing.assert_allclose(float(aux["norm"]), l2_term, rtol=1e-5)
+    assert abs(float(aux["norm"]) - (l1_term + l2_term)) > 1e-6
