@@ -49,15 +49,29 @@ def load_eval_set(cfg, evaldatapath: str = "red-trees/",
         x, _ = load_folder(folder)
         gt = np.zeros(x.shape[:3], bool)
         return x.astype(np.float32), gt
-    xp = os.path.join(evaldatapath, "X.npy")
-    yp = os.path.join(evaldatapath, "Y.npy")
-    if not cfg.synthetic_data and os.path.exists(xp) and os.path.exists(yp):
-        x = np.load(xp) / 255.0
-        gt = np.all(np.load(yp), axis=-1)
+    if cfg.resimages:
+        # main.py:922-925: -resimages SUBSTITUTES resimgs.npy (floats,
+        # loaded raw — no /255) for X, with an all-zero GT; the
+        # [100:5000:2] slice still applies below
+        try:
+            x = np.load("resimgs.npy")
+        except OSError as e:
+            raise RuntimeError(
+                "-resimages needs ./resimgs.npy (reference "
+                f"main.py:923): {e}") from e
+        gt = np.zeros(x.shape[:3], bool)
     else:
-        from cgs_tpu.data.synthetic import synthetic_eval_set
-        xu8, gt = synthetic_eval_set(n_frames=5000, seed=cfg.seed + 99)
-        x = xu8 / 255.0
+        xp = os.path.join(evaldatapath, "X.npy")
+        yp = os.path.join(evaldatapath, "Y.npy")
+        if not cfg.synthetic_data and os.path.exists(xp) \
+                and os.path.exists(yp):
+            x = np.load(xp) / 255.0
+            gt = np.all(np.load(yp), axis=-1)
+        else:
+            from cgs_tpu.data.synthetic import synthetic_eval_set
+            xu8, gt = synthetic_eval_set(n_frames=5000,
+                                         seed=cfg.seed + 99)
+            x = xu8 / 255.0
     x = x[100:5000:2]           # main.py:927
     gt = gt[100:5000:2]
     return x.astype(np.float32), gt.astype(bool)
@@ -69,7 +83,8 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
     """Returns {'ious': [...], 'masks': ..., 'preds': ...} mirroring
     the reference's eval() variant order: [mask, (crf), (saliency),
     (saliency+crf)] (main.py:1005-1015)."""
-    out = pipeline.run((x * 255).astype(np.uint8))
+    x_u8 = (x * 255).astype(np.uint8)
+    out = pipeline.run(x_u8)
     preds, masks, sal = out.preds, out.masks, out.saliency
 
     hard = (masks > cfg.eval_thresh).squeeze(-1)          # main.py:964
@@ -84,7 +99,7 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
 
     crf_hard = None
     if cfg.crf and crf_fn is not None:                    # main.py:969
-        crf_hard = crf_fn((x * 255).astype(np.uint8),
+        crf_hard = crf_fn(x_u8,
                           masks.squeeze(-1))
         ious.append(iou(crf_hard, gt))
         variants["crf"] = crf_hard
@@ -100,7 +115,7 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
         variants["sal"] = sal_soft.squeeze(-1)
         variants["sal_hard"] = sal_hard
         if cfg.crf and crf_fn is not None:
-            sal_crf = crf_fn((x * 255).astype(np.uint8),
+            sal_crf = crf_fn(x_u8,
                              sal_soft.squeeze(-1))
             ious.append(iou(sal_crf, gt))
             variants["sal_crf"] = sal_crf
@@ -143,31 +158,54 @@ def _color_code(gt: np.ndarray, m: np.ndarray) -> np.ndarray:
 def render_eval_video(path: str, x: np.ndarray, gt: np.ndarray,
                       variants: Dict[str, np.ndarray], ious,
                       framerate: int = 10,
-                      max_frames: Optional[int] = 600) -> None:
-    """Two-row comparison video: top = [RGB | gt | variants...],
-    bottom = TP/FN/FP color coding per variant, with a title banner
-    and legend (layout of main.py:1027-1087; titles carry the
-    *measured* IoUs instead of the reference's hard-coded ones)."""
+                      max_frames: Optional[int] = None) -> None:
+    """Comparison video in the REFERENCE layout (main.py:1027-1087):
+
+      columns (allM order [gt, mask, hard, crf?, sal?, sal_hard?,
+      sal_crf?], prefixed by the RGB frame) are REORDERED by the
+      reference's hard-coded permutation — [0,1,4,3,2,7,6,5] with crf+
+      salience, [0,1,4,3,2] without salience, [0,1,3,2,5] without crf
+      — top row = the frames/masks, bottom row = TP/FN/FP color coding
+      for the BINARY columns (allM indices {0,2,3,5,6}; soft columns
+      get the flat 0.1 gray), with a fosi=30 title banner and a legend
+      that doubles in height for the short layouts. Titles carry the
+      *measured* IoUs instead of the reference's hard-coded paper
+      numbers (documented deviation). Every frame renders (the
+      reference writes the full array); frames stream to the writer
+      chunk-free in memory."""
     from PIL import Image, ImageDraw
 
     from cgs_tpu.utils.artifacts import load_font
-    from cgs_tpu.utils.video import vidwrite
+    from cgs_tpu.utils.video import VideoSink
 
-    order = [("RGB\nimage", None), ("ground\ntruth", gt)]
     iou_iter = iter(ious)
-    labels = {"hard": "thresholded\nmask", "crf": "mask\nCRF",
-              "sal_hard": "thresholded\nsaliency",
-              "sal_crf": "salience\nCRF"}
-    order.append(("mask", variants["mask"]))
-    next_iou = next(iou_iter)
-    order.append((f"thresholded\nmask\nIoU={next_iou}",
-                  variants["hard"]))
-    for key in ("crf", "sal", "sal_hard", "sal_crf"):
-        if key in variants:
-            lab = labels.get(key, "saliency\nmap")
-            if key in ("crf", "sal_hard", "sal_crf"):
-                lab += f"\nIoU={next(iou_iter)}"
-            order.append((lab, variants[key]))
+    # allM order with titles + binary flags (reference allM indices)
+    all_m = [("ground\ntruth", gt, True),
+             ("mask", variants["mask"], False),
+             (f"thresholded\nmask\nIoU={next(iou_iter)}",
+              variants["hard"], True)]
+    has_crf = "crf" in variants
+    has_sal = "sal" in variants
+    if has_crf:
+        all_m.append((f"mask\nCRF\nIoU={next(iou_iter)}",
+                      variants["crf"], True))
+    if has_sal:
+        all_m.append(("saliency\nmap", variants["sal"], False))
+        all_m.append((f"thresholded\nsaliency\nIoU={next(iou_iter)}",
+                      variants["sal_hard"], True))
+        if has_crf and "sal_crf" in variants:
+            all_m.append((f"salience\nCRF\nIoU={next(iou_iter)}",
+                          variants["sal_crf"], True))
+
+    # frames list = [X] + allM; reference reordering (main.py:1028-1032)
+    if not has_crf:
+        reordering = [0, 1, 3, 2, 5]
+    elif not has_sal:
+        reordering = [0, 1, 4, 3, 2]
+    else:
+        reordering = [0, 1, 4, 3, 2, 7, 6, 5]
+    reordering = [i for i in reordering if i <= len(all_m)]
+    short = len(reordering) != 8
 
     n = len(x) if max_frames is None else min(len(x), max_frames)
     scale = 3
@@ -175,27 +213,27 @@ def render_eval_video(path: str, x: np.ndarray, gt: np.ndarray,
     font = load_font(size=fosi * 2 // 3)
 
     cols_top, cols_bot, titles = [], [], []
-    for title, m in order:
-        titles.append(title)
-        if m is None:
+    for i in reordering:
+        if i == 0:
+            titles.append("RGB\nimage")
             cols_top.append(x[:n])
             cols_bot.append(x[:n])
             continue
+        title, m, binary = all_m[i - 1]
+        titles.append(title)
         mm = m[:n].astype(np.float32)
         cols_top.append(np.repeat(mm[..., None], 3, axis=-1))
-        if m.dtype == bool or set(np.unique(m[:n])) <= {0, 1}:
+        # color-coding is keyed on the column KIND like the
+        # reference's fixed index set (main.py:1051) — a saturated
+        # soft mask must not flip the panel style
+        if binary:
             cols_bot.append(_color_code(gt[:n], mm))
         else:
             cols_bot.append(0.1 * np.ones_like(cols_top[-1]))
 
-    top = np.concatenate(cols_top, axis=2)
-    bot = np.concatenate(cols_bot, axis=2)
-    frames = np.concatenate([top, bot], axis=1)
-    frames = (255 * np.clip(frames, 0, 1)).astype(np.uint8)
-    frames = frames.repeat(scale, axis=1).repeat(scale, axis=2)
-
-    # title banner + legend rows
-    width = frames.shape[2]
+    # static banner + legend rows (composited once)
+    ncols = len(reordering)
+    width = ncols * 64 * scale
     banner = Image.new("RGB", (width, fosi * 4))
     draw = ImageDraw.Draw(banner)
     for i, t in enumerate(titles):
@@ -206,7 +244,9 @@ def render_eval_video(path: str, x: np.ndarray, gt: np.ndarray,
                    ("RED = False Negative", (255, 0, 0)),
                    ("GRAY = False Positive", (125, 125, 125)),
                    ("BLACK = True Negative", (255, 255, 255))]
-    legend = Image.new("RGB", (width, fosi * 2))
+    # short layouts double the legend height and wrap the last two
+    # entries (main.py:1074-1080)
+    legend = Image.new("RGB", (width, fosi * (4 if short else 2)))
     draw = ImageDraw.Draw(legend)
     spacing = max(1, (width - 2) // len(legend_text))
     for i, (text, color) in enumerate(legend_text):
@@ -214,8 +254,16 @@ def render_eval_video(path: str, x: np.ndarray, gt: np.ndarray,
                   font=font, fill=color)
     legend = np.asarray(legend)
 
-    full = np.concatenate(
-        [np.tile(banner[None], (n, 1, 1, 1)), frames,
-         np.tile(legend[None], (n, 1, 1, 1))], axis=1)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    vidwrite(path, full, framerate=framerate)
+    with VideoSink(path, framerate=framerate) as sink:
+        chunk = 64
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            top = np.concatenate([c[lo:hi] for c in cols_top], axis=2)
+            bot = np.concatenate([c[lo:hi] for c in cols_bot], axis=2)
+            fr = np.concatenate([top, bot], axis=1)
+            fr = (255 * np.clip(fr, 0, 1)).astype(np.uint8)
+            fr = fr.repeat(scale, axis=1).repeat(scale, axis=2)
+            for f in fr:
+                sink.append(np.concatenate([banner, f, legend],
+                                           axis=0))

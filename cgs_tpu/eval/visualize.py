@@ -15,7 +15,7 @@ import numpy as np
 from PIL import Image, ImageDraw
 
 from cgs_tpu.utils.artifacts import load_font
-from cgs_tpu.utils.video import vidwrite
+from cgs_tpu.utils.video import VideoSink
 
 
 def make_plotbar(ph: int, pw: int, values: np.ndarray) -> np.ndarray:
@@ -36,9 +36,12 @@ def render_curves_video(path: str, frames: np.ndarray,
                         sorting: Optional[np.ndarray] = None,
                         scale: int = 4, ph: int = 32,
                         framerate: int = 4,
-                        max_frames: Optional[int] = 1000) -> None:
+                        max_frames: Optional[int] = None) -> None:
     """frames: (R, N, H, W, 3) float [0,1] — R stacked rows (e.g. RGB
-    and masked RGB); value_rows: (V, N) — e.g. [GT, pred]."""
+    and masked RGB); value_rows: (V, N) — e.g. [GT, pred].
+
+    Renders EVERY frame like the reference (main.py:827,835); frames
+    stream to the writer so full-length videos stay memory-bounded."""
     frames = np.asarray(frames)
     values = np.asarray(value_rows, np.float64)
     if sorting is not None:
@@ -49,37 +52,40 @@ def render_curves_video(path: str, frames: np.ndarray,
     w = frames.shape[3]
     plotbars = [make_plotbar(ph, w, values[i])
                 for i in range(len(values))]
+    # label height = the full plot stack (main.py:826 reassigns
+    # ph = 32 * len(plotbars) before computing the text position)
+    ph_total = ph * len(plotbars)
     font = load_font()
 
-    out_frames = []
-    for idx in range(n):
-        pic = np.concatenate(frames[:, idx], axis=0)
-        pic = (255 * np.clip(pic, 0, 1)).astype(np.uint8)
-        plots = []
-        for bar in plotbars:
-            sl = bar[:, idx:idx + w]
-            if sl.shape[1] < w:
-                sl = np.pad(sl, ((0, 0), (0, w - sl.shape[1]), (0, 0)))
-            sl = sl.copy()
-            sl[:, w // 2] = sl[:, w // 2] * np.array((1, 0, 0),
-                                                     np.uint8)
-            plots.append(sl)
-        pic = np.concatenate([pic] + plots, axis=0)
-        pic = pic.repeat(scale, axis=0).repeat(scale, axis=1)
-        img = Image.fromarray(pic)
-        draw = ImageDraw.Draw(img)
-        label = str(int(sorting[idx])) if sorting is not None else \
-            str(idx)
-        draw.text((w * scale - 26, pic.shape[0] - 12 - ph * scale),
-                  label, fill=(255, 255, 255), font=font)
-        for vi in range(len(values)):
-            draw.text((1, 1 + 15 * vi),
-                      str(round(float(values[vi, idx]), 3)),
-                      fill=(255, 255, 255), font=font)
-        out_frames.append(np.asarray(img))
-
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    vidwrite(path, np.stack(out_frames), framerate=framerate)
+    with VideoSink(path, framerate=framerate) as sink:
+        for idx in range(n):
+            pic = np.concatenate(frames[:, idx], axis=0)
+            pic = (255 * np.clip(pic, 0, 1)).astype(np.uint8)
+            plots = []
+            for bar in plotbars:
+                sl = bar[:, idx:idx + w]
+                if sl.shape[1] < w:
+                    sl = np.pad(sl,
+                                ((0, 0), (0, w - sl.shape[1]), (0, 0)))
+                sl = sl.copy()
+                sl[:, w // 2] = sl[:, w // 2] * np.array((1, 0, 0),
+                                                         np.uint8)
+                plots.append(sl)
+            pic = np.concatenate([pic] + plots, axis=0)
+            pic = pic.repeat(scale, axis=0).repeat(scale, axis=1)
+            img = Image.fromarray(pic)
+            draw = ImageDraw.Draw(img)
+            label = str(int(sorting[idx])) if sorting is not None \
+                else str(idx)
+            draw.text((w * scale - 26,
+                       pic.shape[0] - 13 - ph_total * scale),
+                      label, fill=(255, 255, 255), font=font)
+            for vi in range(len(values)):
+                draw.text((1, 1 + 15 * vi),
+                          str(round(float(values[vi, idx]), 3)),
+                          fill=(255, 255, 255), font=font)
+            sink.append(np.asarray(img))
 
 
 def visualize(cfg, pipeline, x_test: np.ndarray, y_test_row: np.ndarray,
@@ -112,7 +118,11 @@ def visualize(cfg, pipeline, x_test: np.ndarray, y_test_row: np.ndarray,
     paths = [os.path.join(out_dir, f"{name}.mp4")]
     if write:
         render_curves_video(paths[0], frames, values)
-    sorting = np.argsort(values[cfg.sortidx])[::-1]  # main.py:880
+    # clamp: -purevis can select fewer rows than sortidx+1 (the
+    # reference would IndexError mid-artifact; quirk policy says
+    # reproduce behavior, not crashes)
+    si = min(cfg.sortidx, len(values) - 1)
+    sorting = np.argsort(values[si])[::-1]           # main.py:880
     paths.append(os.path.join(out_dir, f"{name}-pred-sorted.mp4"))
     if write:
         render_curves_video(paths[1], frames, values, sorting=sorting)

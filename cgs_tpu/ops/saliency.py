@@ -48,13 +48,17 @@ def normalize_saliency_global(sal: Array, preds: Array,
     """Global-mean normalization (main.py:980-982,992-995).
 
     sal: (B, H, W, 1); preds: (B,). Returns (soft, hard) where hard is
-    uint8 {0,1} thresholded at `thresh`.
+    uint8 {0,1} thresholded at `thresh`. Host numpy inputs are
+    normalized with numpy (jnp ops on host arrays would upload the
+    ~38 MB eval saliency through remote-TPU links for a reduction the
+    host does in milliseconds — same rule as ops/iou.py:iou_counts).
     """
-    norm = jnp.mean(sal * (sal >= 0)) * thresh
+    xp = np if isinstance(sal, np.ndarray) else jnp
+    norm = xp.mean(sal * (sal >= 0)) * thresh
     sal = sal / (norm + _EPS)
     sal = sal * preds[:, None, None, None]
-    sal = jnp.where(sal >= 1.0, 1.0, sal)
-    hard = (sal > thresh).astype(jnp.uint8)
+    sal = xp.where(sal >= 1.0, 1.0, sal)
+    hard = (sal > thresh).astype(xp.uint8)
     return sal, hard
 
 
@@ -64,12 +68,13 @@ def normalize_saliency_topk(sal: Array, preds: Array, thresh: float):
     k = floor(H*W*thresh); each frame is divided by its k-th smallest
     saliency value (the reference sorts ascending and indexes [k]).
     """
+    xp = np if isinstance(sal, np.ndarray) else jnp
     b, h, w, _ = sal.shape
     k = int(h * w * thresh)
     flat = sal.reshape(b, -1)
-    norm = jnp.sort(flat, axis=-1)[:, min(k, h * w - 1)]
+    norm = xp.sort(flat, axis=-1)[:, min(k, h * w - 1)]
     sal = sal / (norm[:, None, None, None] + _EPS)
     sal = sal * preds[:, None, None, None]
-    sal = jnp.where(sal >= 1.0, 1.0, sal)
-    hard = (sal > thresh).astype(jnp.uint8)
+    sal = xp.where(sal >= 1.0, 1.0, sal)
+    hard = (sal > thresh).astype(xp.uint8)
     return sal, hard

@@ -10,32 +10,64 @@ import subprocess
 import numpy as np
 
 
-def _ffmpeg_write(fn: str, images: np.ndarray, framerate: int) -> None:
-    n, h, w, _ = images.shape
-    cmd = ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
-           "-s", f"{w}x{h}", "-r", str(framerate), "-i", "pipe:",
-           "-pix_fmt", "yuv420p", "-vcodec", "libx264",
-           "-r", str(framerate), fn]
-    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL)
-    for frame in images:
-        proc.stdin.write(frame.astype(np.uint8).tobytes())
-    proc.stdin.close()
-    proc.wait()
+class VideoSink:
+    """Incremental MP4 writer: append frames chunk-by-chunk instead of
+    materializing the whole (N, H, W, 3) array (a full-length eval
+    video is multiple GB). Lazily opens on the first frame (needs the
+    dimensions); ffmpeg pipe when the binary exists, cv2 otherwise."""
 
+    def __init__(self, fn: str, framerate: int = 32):
+        self.fn = fn
+        self.framerate = framerate
+        self._proc = None
+        self._cv2 = None
+        self._hw = None
 
-def _cv2_write(fn: str, images: np.ndarray, framerate: int) -> None:
-    import cv2
-    n, h, w, _ = images.shape
-    out = cv2.VideoWriter(fn, cv2.VideoWriter_fourcc(*"mp4v"),
-                          framerate, (w, h))
-    try:
-        for frame in images:
-            out.write(cv2.cvtColor(frame.astype(np.uint8),
-                                   cv2.COLOR_RGB2BGR))
-    finally:
-        out.release()
+    def _open(self, h: int, w: int) -> None:
+        self._hw = (h - h % 2, w - w % 2)  # yuv420p needs even dims
+        if shutil.which("ffmpeg"):
+            hh, ww = self._hw
+            cmd = ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt",
+                   "rgb24", "-s", f"{ww}x{hh}", "-r",
+                   str(self.framerate), "-i", "pipe:", "-pix_fmt",
+                   "yuv420p", "-vcodec", "libx264", "-r",
+                   str(self.framerate), self.fn]
+            self._proc = subprocess.Popen(
+                cmd, stdin=subprocess.PIPE,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        else:
+            import cv2
+            self._cv2 = cv2.VideoWriter(
+                self.fn, cv2.VideoWriter_fourcc(*"mp4v"),
+                self.framerate, (self._hw[1], self._hw[0]))
+
+    def append(self, frame: np.ndarray) -> None:
+        frame = np.asarray(frame)
+        if frame.dtype != np.uint8:
+            frame = np.clip(frame, 0, 255).astype(np.uint8)
+        if self._hw is None:
+            self._open(*frame.shape[:2])
+        frame = frame[: self._hw[0], : self._hw[1]]
+        if self._proc is not None:
+            self._proc.stdin.write(frame.tobytes())
+        else:
+            import cv2
+            self._cv2.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+
+    def close(self) -> None:
+        if self._proc is not None:
+            self._proc.stdin.close()
+            self._proc.wait()
+            self._proc = None
+        if self._cv2 is not None:
+            self._cv2.release()
+            self._cv2 = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def vidwrite(fn: str, images, framerate: int = 32) -> None:
@@ -43,10 +75,6 @@ def vidwrite(fn: str, images, framerate: int = 32) -> None:
     images = np.asarray(images)
     if images.dtype != np.uint8:
         images = np.clip(images, 0, 255).astype(np.uint8)
-    # even dimensions required by yuv420p
-    h, w = images.shape[1:3]
-    images = images[:, : h - h % 2, : w - w % 2]
-    if shutil.which("ffmpeg"):
-        _ffmpeg_write(fn, images, framerate)
-    else:
-        _cv2_write(fn, images, framerate)
+    with VideoSink(fn, framerate=framerate) as sink:
+        for frame in images:
+            sink.append(frame)

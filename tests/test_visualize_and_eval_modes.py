@@ -138,3 +138,59 @@ def test_live_flags_not_warned_dead(capsys):
     parse_args(["-grabcut", "--runs", "3"])
     out = capsys.readouterr().out
     assert "unused" in out and "grabcut" in out and "runs" in out
+
+
+def test_resimages_substitutes_input(tmp_path, monkeypatch):
+    """-resimages replaces the eval X with ./resimgs.npy (loaded raw,
+    main.py:922-925) and uses an all-zero GT; [100:5000:2] applies."""
+    from cgs_tpu.eval.harness import load_eval_set
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    imgs = rng.random((300, 64, 64, 3)).astype(np.float32)
+    np.save("resimgs.npy", imgs)
+    cfg = Config(resimages=True, synthetic_data=True).derive()
+    x, gt = load_eval_set(cfg)
+    assert x.shape == (100, 64, 64, 3)      # 300 frames [100:5000:2]
+    np.testing.assert_allclose(x, imgs[100:5000:2], atol=1e-6)
+    assert gt.shape == (100, 64, 64) and not gt.any()
+
+    # missing file -> clear error, not a bare FileNotFoundError
+    monkeypatch.chdir(tmp_path / "..")
+    with pytest.raises(RuntimeError, match="resimgs.npy"):
+        load_eval_set(cfg)
+
+
+def test_eval_video_reference_reordering(tmp_path, rng):
+    """Column permutation matches main.py:1028-1032 for all three
+    layout cases (crf+sal / crf only / neither)."""
+    from cgs_tpu.eval.harness import render_eval_video
+
+    n = 4
+    x = rng.random((n, 64, 64, 3)).astype(np.float32)
+    gt = rng.random((n, 64, 64)) > 0.8
+    soft = rng.random((n, 64, 64)).astype(np.float32)
+    hard = soft > 0.5
+    base = {"mask": soft, "hard": hard}
+
+    cases = [
+        (dict(base), [0.5], 4),                     # no crf, no sal
+        (dict(base, crf=hard), [0.5, 0.6], 5),      # crf only
+        (dict(base, crf=hard, sal=soft, sal_hard=hard, sal_crf=hard),
+         [0.5, 0.6, 0.2, 0.1], 8),                  # full layout
+    ]
+    import subprocess
+    for i, (variants, ious, ncols) in enumerate(cases):
+        p = tmp_path / f"v{i}.mp4"
+        render_eval_video(str(p), x, gt, variants, ious)
+        assert p.exists() and p.stat().st_size > 0
+        # video width encodes the column count (64*scale(3) per col,
+        # even-cropped)
+        out = subprocess.run(
+            ["python", "-c",
+             "import cv2,sys;c=cv2.VideoCapture(sys.argv[1]);"
+             "print(int(c.get(cv2.CAP_PROP_FRAME_WIDTH)))", str(p)],
+            capture_output=True, text=True)
+        width = int(out.stdout.strip())
+        assert width == (ncols * 64 * 3) - ((ncols * 64 * 3) % 2), \
+            (i, width)
