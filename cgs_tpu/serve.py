@@ -35,6 +35,15 @@ import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _Server(ThreadingHTTPServer):
+    """ThreadingHTTPServer's default accept backlog is 5 — a burst of
+    concurrent clients (the micro-batcher's whole point) gets
+    connection resets before the handler ever runs. 128 covers the
+    batch-formation concurrency the batcher is sized for."""
+    request_queue_size = 128
+    daemon_threads = True
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
@@ -365,7 +374,7 @@ class MaskServer:
         return Handler
 
     def start(self, host: str = "127.0.0.1", port: int = 8700):
-        self.httpd = ThreadingHTTPServer((host, port),
+        self.httpd = _Server((host, port),
                                          self.make_handler())
         return self.httpd
 

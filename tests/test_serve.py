@@ -190,3 +190,30 @@ def test_meshed_serving_matches_single_device(tmp_path, rng):
     finally:
         meshed.batcher.close()
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_http_burst_no_connection_resets(server, rng):
+    """A 40-connection burst must not overflow the accept backlog
+    (ThreadingHTTPServer defaults to 5 — found via connection resets
+    under concurrent load; _Server raises request_queue_size)."""
+    import concurrent.futures as cf
+
+    httpd = server.start(port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    body = _png(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    url = f"http://127.0.0.1:{port}/segment"
+
+    def one(_):
+        req = urllib.request.Request(url, data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status
+
+    try:
+        with cf.ThreadPoolExecutor(max_workers=40) as ex:
+            statuses = list(ex.map(one, range(40)))
+        assert statuses == [200] * 40
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
