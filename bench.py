@@ -10,14 +10,33 @@ readback. Baseline = the BASELINE.json north-star of 100k frames/s
 (the reference publishes no throughput at all — its pipeline is
 single-device CPU torch, reference main.py:71, requirements.txt:79).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Driver-proofing (round-2 postmortem, VERDICT.md "what's weak" #1):
+  * the headline JSON line is printed IMMEDIATELY after the
+    device-resident timing — nothing slow runs before it;
+  * everything else (training steps/s, host-fed path) runs AFTER,
+    each stage gated on a wall-clock budget (CGS_BENCH_BUDGET_S,
+    default 300 s) so remote-compile variance (2-480 s/program
+    through the tunnel) can never eat the already-measured number;
+  * a persistent compilation cache (.jax_cache/) makes the driver's
+    repeat runs skip the remote compiles entirely;
+  * if the extras complete, a SECOND JSON line — the same headline
+    keys plus the extra metrics — is printed, so a first-line or a
+    last-line parser both see the headline value.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+T0 = time.time()
+BUDGET_S = float(os.environ.get("CGS_BENCH_BUDGET_S", "300"))
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T0)
 
 
 def main():
@@ -43,17 +62,39 @@ def main():
         _, em = critic.apply({"params": cp}, x0, collect=True)
         mp = masker.init({"params": key}, x0, em)["params"]
 
-    batch = 32768 if jax.default_backend() == "tpu" else 256
+    # persistent compile cache, enabled AFTER the host-CPU init block:
+    # the tunneled backend re-compiles remotely (2-480 s per program),
+    # so cache hits make driver re-runs near-instant on the compile
+    # side — but caching the tiny CPU init programs would replay
+    # XLA:CPU AOT blobs on later runs, spewing ~400 KB of
+    # machine-feature-mismatch warnings that can push the headline
+    # JSON out of the driver's captured tail
+    try:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+    except Exception:
+        pass  # older jax: run without the cache
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 32768 if on_tpu else 256
     pipe = MaskPipeline(critic, masker,
                         {"critic": cp, "masker": mp},
                         batch_size=batch, with_checksum=True)
 
-    frames = jnp.asarray(np.random.default_rng(0).integers(
-        0, 256, (batch, 64, 64, 3), dtype=np.uint8))
+    # generate the batch ON DEVICE: uploading 32768 uint8 frames
+    # (402 MB) through the ~22 MB/s tunnel costs ~18 minutes — that,
+    # not compilation, is what ate the round-1/2 bench budget
+    frames = jax.jit(
+        lambda k: jax.random.randint(k, (batch, 64, 64, 3), 0, 256,
+                                     dtype=jnp.uint8)
+    )(jax.random.PRNGKey(0))
 
     # compile + warmup (first executions after compile pay a one-time
-    # slow path on the tunneled runtime — warm thoroughly)
-    for _ in range(3):
+    # slow path on the tunneled runtime)
+    for _ in range(2):
         *_, ck = pipe.run_device(frames)
         float(ck)
 
@@ -72,29 +113,123 @@ def main():
     dt = sorted(times)[1]
     fps = batch / dt
 
-    # host-fed MaskPipeline.run() — the path a real `-process` user
-    # hits (PIL folder -> host numpy -> chunked async H2D -> device).
-    # On this harness the number measures the ~22 MB/s tunnel, not the
-    # chip (each 64x64 RGB frame is 12 KB up + ~20 KB of outputs
-    # down); reported anyway for completeness per VERDICT r1 #6.
-    host_pipe = MaskPipeline(critic, masker,
-                             {"critic": cp, "masker": mp},
-                             batch_size=min(batch, 4096))
-    host_frames = np.asarray(frames[:4096])
-    host_pipe.run(host_frames)  # compile + warm AT THE TIMED SHAPE
-    t0 = time.time()
-    host_pipe.run(host_frames)
-    host_fps = host_frames.shape[0] / (time.time() - t0)
-
-    print(json.dumps({
+    headline = {
         "metric": "process_inference_throughput",
         "value": round(fps, 1),
         "unit": "frames/s/chip (64x64 RGB, critic+masker)",
         "vs_baseline": round(fps / 100000.0, 3),
+    }
+    # the deliverable — print before ANY optional extra can stall
+    print(json.dumps(headline), flush=True)
+
+    extras = {}
+    try:
+        extras.update(_training_throughput(jax, jnp, critic, masker,
+                                           cp, mp))
+    except Exception as e:  # extras must never kill the recorded line
+        extras["train_error"] = repr(e)[:200]
+    try:
+        extras.update(_host_fed(jax, jnp, critic, masker, cp, mp,
+                                MaskPipeline, batch))
+    except Exception as e:
+        extras["host_fed_error"] = repr(e)[:200]
+
+    if extras:
+        print(json.dumps({**headline, **extras}), flush=True)
+
+
+def _training_throughput(jax, jnp, critic, masker, cp, mp):
+    """Warm critic-chunk and masker-chunk scans at reference shapes
+    (critic batch 64, masker K=32 -> 64+64), reporting steps/s — the
+    driver-captured version of the RESULTS.md training table
+    (VERDICT.md next-round item 5). Budget-gated per phase."""
+    out = {}
+    if remaining() < 60:
+        return out
+    from cgs_tpu import Config
+    from cgs_tpu.train.loops import make_critic_chunk, make_masker_chunk
+    from cgs_tpu.train.steps import (
+        init_train_state, make_optimizer, trained_param_keys,
+    )
+
+    rng = np.random.default_rng(1)
+    cfg = Config(shift=12, dropout=0.3, inject=True).derive()
+    S = 100  # steps per scan chunk (= the reference viz cadence)
+    kb = jax.random.PRNGKey(7)
+
+    def time_chunk(chunk, state, *args):
+        # pipeline 8 async chunk dispatches and sync once: a single
+        # dispatch of S=100 steps pays the tunnel's ~70 ms RTT on top
+        # of ~33-135 ms of device time, understating the device rate
+        # by 1.3-2x; chaining the donated state amortizes the RTT
+        key = jax.random.PRNGKey(0)
+        state, losses = chunk(state, *args, key)   # compile + warm
+        np.asarray(losses)
+        rounds = 8
+        t0 = time.time()
+        for _ in range(rounds):
+            state, losses = chunk(state, *args, key)
+        np.asarray(losses)                          # hard sync
+        return rounds * S / (time.time() - t0)
+
+    # critic phase: bank of 1024 frames (generated on device — 12 MB
+    # of H2D through the tunnel is ~35 s better spent elsewhere),
+    # batch 64
+    tx = make_optimizer()
+    cstate = init_train_state({"critic": cp}, tx, ["critic"])
+    chunk = make_critic_chunk(cfg, critic, tx)
+    x_all = jax.jit(
+        lambda k: jax.random.randint(k, (1024, 64, 64, 3), 0, 256,
+                                     dtype=jnp.uint8))(kb)
+    y_all = jax.jit(
+        lambda k: jax.random.uniform(k, (1024,), jnp.float32))(kb)
+    idx = jnp.asarray(rng.integers(0, 1024, (S, 64), dtype=np.int32))
+    out["critic_train_steps_per_sec"] = round(
+        time_chunk(chunk, cstate, x_all, y_all, idx), 1)
+
+    if remaining() < 45:
+        return out
+    # masker phase: K=32 high + 32 low, 64 contrast-negatives
+    tx2 = make_optimizer()
+    mstate = init_train_state({"critic": cp, "masker": mp}, tx2,
+                              trained_param_keys(cfg))
+    mchunk = make_masker_chunk(cfg, critic, masker, tx2)
+    xpos = x_all[:512]
+    xneg = x_all[512:]
+    ypos, yneg = y_all[:512], y_all[512:]
+    h = jnp.asarray(rng.integers(0, 512, (S, 32), dtype=np.int32))
+    l = jnp.asarray(rng.integers(0, 512, (S, 32), dtype=np.int32))
+    c = jnp.asarray(rng.integers(0, 512, (S, 64), dtype=np.int32))
+    out["masker_train_steps_per_sec"] = round(
+        time_chunk(mchunk, mstate, xpos, ypos, xneg, yneg, h, l, c), 1)
+    return out
+
+
+def _host_fed(jax, jnp, critic, masker, cp, mp, MaskPipeline, batch):
+    """Host-fed MaskPipeline.run() — the path a real `-process` user
+    hits (PIL folder -> host numpy -> chunked async H2D -> device).
+    On this harness the number measures the ~22 MB/s tunnel, not the
+    chip (each 64x64 RGB frame is 12 KB up + ~20 KB of outputs down);
+    reported for completeness per VERDICT r1 #6, budget-gated so it
+    can never cost the headline (the round-2 failure mode)."""
+    if remaining() < 60:
+        return {}
+    host_pipe = MaskPipeline(critic, masker,
+                             {"critic": cp, "masker": mp},
+                             batch_size=min(batch, 4096))
+    host_frames = np.random.default_rng(0).integers(
+        0, 256, (4096, 64, 64, 3), dtype=np.uint8)
+    host_pipe.run(host_frames)  # compile + warm AT THE TIMED SHAPE
+    if remaining() < 20:
+        return {}
+    t0 = time.time()
+    host_pipe.run(host_frames)
+    host_fps = host_frames.shape[0] / (time.time() - t0)
+    return {
         "host_fed_frames_per_sec": round(host_fps, 1),
         "host_fed_note": "bounded by this harness's ~22MB/s tunnel "
                          "H2D, not the chip; see RESULTS.md",
-    }))
+    }
 
 
 if __name__ == "__main__":

@@ -103,3 +103,147 @@ def save_pt(params: Dict, keymap: Dict[str, str], path: str) -> None:
     state = {k: torch.from_numpy(np.ascontiguousarray(v))
              for k, v in flax_to_torch_state(params, keymap).items()}
     torch.save(state, path)
+
+
+# ---------------------------------------------------------------------
+# pretrained-backbone zoo converters (reference nets.py:704-804)
+#
+# The reference's VGGCritic/ResNetCritic/VGGEmbedder wrap torchvision
+# backbones (`visionmodels.vgg11(pretrained=True).features`,
+# nets.py:754; `Sequential(*resnet18.children()[0:8])`, nets.py:791),
+# so their state_dicts use Sequential-index key grammars. These
+# converters load such state_dicts (or raw torchvision ones) into the
+# flax modules in cgs_tpu/models/zoo.py. Golden-tested against
+# hand-built torch replicas in tests/test_zoo_interop.py (torchvision
+# is not installed in this env; torch is).
+# ---------------------------------------------------------------------
+
+# conv slots inside torchvision vgg11 `.features` (the other slots are
+# ReLU/MaxPool): flax zoo.VGG11Features names them conv0..conv7
+VGG11_FEATURE_CONV_IDX = (0, 3, 6, 8, 11, 13, 16, 18)
+
+
+def _wb(state: Dict, prefix: str) -> Dict:
+    """One torch weight+bias slot -> flax {'kernel','bias'} (copied)."""
+    w = np.array(state[f"{prefix}.weight"], copy=True)
+    return {"kernel": _to_flax_w(w),
+            "bias": np.array(state[f"{prefix}.bias"], copy=True)}
+
+
+def _wb_flattened(state: Dict, prefix: str, chw) -> Dict:
+    """Dense slot that consumes a FLATTENED feature map: torch
+    flattens NCHW (input index c*H*W + h*W + w), flax flattens NHWC
+    (h*W*C + w*C + c) — permute the weight's input axis accordingly.
+    (No-op only when H=W=1, e.g. the production critic's bottleneck.)"""
+    c, h, w = chw
+    wt = np.array(state[f"{prefix}.weight"], copy=True)  # (out, c*h*w)
+    wt = wt.reshape(wt.shape[0], c, h, w).transpose(0, 2, 3, 1)
+    wt = wt.reshape(wt.shape[0], h * w * c)
+    return {"kernel": np.transpose(wt),
+            "bias": np.array(state[f"{prefix}.bias"], copy=True)}
+
+
+def vgg11_torch_to_flax(state: Dict, features_prefix: str = "features",
+                        head: bool = True) -> Dict:
+    """VGGCritic state_dict (nets.py:761-787) -> zoo.VGGCritic params.
+
+    features_prefix: 'features' for VGGCritic, 'model' for VGGEmbedder
+    (nets.py:733-735). head=False converts the backbone only (for
+    VGG11Features / VGGEmbedder, which have no head)."""
+    feats = {f"conv{li}": _wb(state, f"{features_prefix}.{ti}")
+             for li, ti in enumerate(VGG11_FEATURE_CONV_IDX)}
+    if not head:
+        return feats
+    params = {"features": feats}
+    # head Sequential [Flatten, Linear, ReLU, Linear, ReLU, Linear]
+    # (nets.py:766-772) -> parametered slots 1, 3, 5; fc0 eats the
+    # flattened (512,2,2) feature map, so its input axis is permuted
+    params["fc0"] = _wb_flattened(state, "head.1", (512, 2, 2))
+    params["fc1"] = _wb(state, "head.3")
+    params["fc2"] = _wb(state, "head.5")
+    return params
+
+
+def _bn(state: Dict, prefix: str):
+    """torch BatchNorm2d slot -> (flax params, flax batch_stats)."""
+    g = lambda k: np.array(state[f"{prefix}.{k}"], copy=True)
+    return ({"scale": g("weight"), "bias": g("bias")},
+            {"mean": g("running_mean"), "var": g("running_var")})
+
+
+def _conv_nobias(state: Dict, prefix: str) -> Dict:
+    w = np.array(state[f"{prefix}.weight"], copy=True)
+    return {"kernel": _to_flax_w(w)}
+
+
+def resnet18_torch_to_flax(state: Dict, head: bool = True):
+    """ResNetCritic state_dict (nets.py:704-730) ->
+    (params, batch_stats) for zoo.ResNetCritic.
+
+    Accepts either the reference's Sequential grammar
+    ('resnet.0.weight', 'resnet.4.0.conv1.weight', ...; the critic
+    wraps children()[0:8] in an nn.Sequential, nets.py:790-793) or a
+    raw torchvision resnet18 state_dict ('conv1.weight',
+    'layer1.0.conv1.weight', ...), which is renamed first."""
+    if "conv1.weight" in state:  # raw torchvision grammar
+        renames = {"conv1": "resnet.0", "bn1": "resnet.1"}
+        for stage in range(4):
+            renames[f"layer{stage + 1}"] = f"resnet.{4 + stage}"
+        renamed = {}
+        for k, v in state.items():
+            top = k.split(".", 1)[0]
+            if top in renames:
+                renamed[renames[top] + k[len(top):]] = v
+            else:
+                renamed[k] = v
+        state = renamed
+
+    params: Dict = {"resnet": {}}
+    stats: Dict = {"resnet": {}}
+    params["resnet"]["Conv_0"] = _conv_nobias(state, "resnet.0")
+    p, s = _bn(state, "resnet.1")
+    params["resnet"]["BatchNorm_0"] = p
+    stats["resnet"]["BatchNorm_0"] = s
+    # children()[4:8] = layer1..layer4, 2 BasicBlocks each; flax names
+    # them ResNetBlock_0..7 in traversal order
+    for stage in range(4):
+        for block in range(2):
+            tp = f"resnet.{4 + stage}.{block}"
+            fb = f"ResNetBlock_{stage * 2 + block}"
+            bp: Dict = {}
+            bs: Dict = {}
+            bp["Conv_0"] = _conv_nobias(state, f"{tp}.conv1")
+            bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(state, f"{tp}.bn1")
+            bp["Conv_1"] = _conv_nobias(state, f"{tp}.conv2")
+            bp["BatchNorm_1"], bs["BatchNorm_1"] = _bn(state, f"{tp}.bn2")
+            if f"{tp}.downsample.0.weight" in state:
+                bp["Conv_2"] = _conv_nobias(state, f"{tp}.downsample.0")
+                bp["BatchNorm_2"], bs["BatchNorm_2"] = _bn(
+                    state, f"{tp}.downsample.1")
+            params["resnet"][fb] = bp
+            stats["resnet"][fb] = bs
+    if head:
+        # head Sequential [Flatten, Linear, ReLU, Linear]
+        # (nets.py:711-716) -> parametered slots 1, 3; fc0 eats the
+        # flattened (512,2,2) feature map (NCHW vs NHWC flatten order)
+        params["fc0"] = _wb_flattened(state, "head.1", (512, 2, 2))
+        params["fc1"] = _wb(state, "head.3")
+    return params, stats
+
+
+def load_pt_vgg_critic(path: str) -> Dict:
+    """Load a reference VGGCritic .pt into zoo.VGGCritic params."""
+    import torch
+    state = torch.load(path, map_location="cpu")
+    return vgg11_torch_to_flax(
+        {k: v.numpy() for k, v in state.items()})
+
+
+def load_pt_resnet_critic(path: str):
+    """Load a reference ResNetCritic .pt ->
+    {'params': ..., 'batch_stats': ...} for zoo.ResNetCritic.apply."""
+    import torch
+    state = torch.load(path, map_location="cpu")
+    params, stats = resnet18_torch_to_flax(
+        {k: v.numpy() for k, v in state.items()})
+    return {"params": params, "batch_stats": stats}

@@ -487,11 +487,14 @@ class ResNetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         res = x
+        # explicit (1,1) padding: torch pad=1 stride=2 pads BOTH sides;
+        # XLA "SAME" at stride 2 pads (0,1) — outputs differ (caught by
+        # the round-3 torch golden test, tests/test_zoo_interop.py)
         y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
-                    padding="SAME", use_bias=False)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
         y = nn.BatchNorm(use_running_average=not train)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding="SAME",
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False)(y)
         y = nn.BatchNorm(use_running_average=not train)(y)
         if res.shape != y.shape:

@@ -113,16 +113,16 @@ def make_critic_viz_fn(cfg, critic) -> Callable:
 
 def make_masker_chunk(cfg, critic, masker,
                       tx: optax.GradientTransformation,
-                      mesh=None) -> Callable:
+                      mesh=None, fuse: str = "merges") -> Callable:
     """Jitted: (state, xpos, ypos, xneg, yneg, hidx (S,K), lidx (S,K),
     cidx (S,2K), key) -> (state, losses (S,4)).
 
     Batch assembly parity (main.py:344-361): A = [pos[h] || neg[l]],
     Y = [ypos[h] || yneg[l]] at row rewidx, B = neg[c]; only A gets
-    the shift augmentation."""
+    the shift augmentation. fuse: see build_masker_loss."""
     # plain jnp merges: measured faster than the fused Pallas pair
     # (XLA fuses them into the critic convs; see ops/pallas_kernels.py)
-    loss_fn = build_masker_loss(cfg, critic, masker)
+    loss_fn = build_masker_loss(cfg, critic, masker, fuse=fuse)
     use_shift = bool(cfg.shift)
     max_shift = int(cfg.shift)
     trained_keys = trained_param_keys(cfg)

@@ -101,14 +101,14 @@ def make_critic_step(cfg, critic, tx: optax.GradientTransformation,
 
 def make_masker_step(cfg, critic, masker,
                      tx: optax.GradientTransformation,
-                     mesh=None) -> Callable:
+                     mesh=None, fuse: str = "merges") -> Callable:
     """Returns jitted step:
     (state, a_u8 (2K,...), y (2K,), b_u8 (2K,...), key) ->
     (state, metrics dict). a is [K high || K low] frames (main.py:350),
-    b is 2K contrast-negative frames."""
+    b is 2K contrast-negative frames. fuse: see build_masker_loss."""
     # plain jnp merges: measured faster than the fused Pallas pair
     # (XLA fuses them into the critic convs; see ops/pallas_kernels.py)
-    loss_fn = build_masker_loss(cfg, critic, masker)
+    loss_fn = build_masker_loss(cfg, critic, masker, fuse=fuse)
     use_shift = bool(cfg.shift)
     max_shift = int(cfg.shift)
     trained_keys = trained_param_keys(cfg)

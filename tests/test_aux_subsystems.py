@@ -181,3 +181,19 @@ def test_profile_trace_spans_both_phases(tmp_path, monkeypatch):
           "--profile", str(trace_dir)])
     dumped = list(trace_dir.rglob("*.xplane.pb"))
     assert dumped, "no xplane trace written"
+
+
+def test_moving_average_matches_reference_formula():
+    """main.py:26-28 get_moving_avg golden values (incl. the len-n
+    output-length quirk: len(x)-n points, NOT len(x)-n+1)."""
+    import numpy as np
+
+    from cgs_tpu.utils.artifacts import moving_average
+
+    x = np.arange(25, dtype=np.float64) ** 1.5
+    cumsum = np.cumsum(x)
+    want = (cumsum[10:] - cumsum[:-10]) / 10
+    np.testing.assert_allclose(moving_average(x, 10), want)
+    assert len(moving_average(x, 10)) == 15
+    np.testing.assert_allclose(moving_average([1.0] * 5, 3),
+                               [1.0, 1.0])

@@ -21,6 +21,8 @@ from cgs_tpu.cli import main
 from cgs_tpu.core.config import Config
 from cgs_tpu.handler import Handler
 
+pytestmark = pytest.mark.slow  # CLI-level DP-vs-single training equivalence runs
+
 ARGS = ["-train", "-synthetic_data", "--datasize", "2000",
         "--testsize", "200", "--cepochs", "8", "--visevery", "40",
         "--dropout", "0", "--shift", "0", "--contrastive-min", "100"]

