@@ -113,7 +113,7 @@ def make_critic_viz_fn(cfg, critic) -> Callable:
 
 def make_masker_chunk(cfg, critic, masker,
                       tx: optax.GradientTransformation,
-                      mesh=None, fuse: str = "merges") -> Callable:
+                      mesh=None, fuse: str = "both") -> Callable:
     """Jitted: (state, xpos, ypos, xneg, yneg, hidx (S,K), lidx (S,K),
     cidx (S,2K), key) -> (state, losses (S,4)).
 

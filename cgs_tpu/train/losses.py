@@ -57,7 +57,7 @@ def build_critic_loss(cfg, critic):
 
 
 def build_masker_loss(cfg, critic, masker, pallas_merge: bool = False,
-                      fuse: str = "merges"):
+                      fuse: str = "both"):
     """(trainable, constant, a f32, y, b f32, dropout_key) ->
     (loss, aux) where aux carries the per-term metrics and the
     tensors the reference visualizes (main.py:364-429,466-530).
@@ -74,15 +74,18 @@ def build_masker_loss(cfg, critic, masker, pallas_merge: bool = False,
     critic calls at batch 2K (main.py:364,374,399,408); the pairs
     (A, B) and (replaced, injected) are data-independent, so each can
     run as ONE batch-4K call with the outputs sliced.
-      * "merges" (default): fuse (replaced, injected) only. Both
-        slices carry live gradients, so the fusion is FLOP-neutral.
-      * "both": additionally fuse (A, B) — one fewer call, but
-        negpred is stop-gradient'd (main.py:367), so the separate
-        form skips B's backward entirely while the fused form
-        back-props zero cotangents through the full merged batch
-        (+33% bwd FLOPs).
-      * "none": the reference's 4-call structure.
-    v5e measurements for all three modes: RESULTS.md.
+      * "none": the reference's 4-call structure — 807.9 steps/s on
+        the v5e at reference shapes (S=200 scan chunks, pipelined
+        dispatches; RESULTS.md).
+      * "merges": fuse (replaced, injected) only. Both slices carry
+        live gradients, so the fusion is FLOP-neutral — 993.1
+        steps/s (1.23x).
+      * "both" (default): additionally fuse (A, B) — 1023.5 steps/s
+        (1.27x). negpred is stop-gradient'd (main.py:367), so this
+        back-props zero cotangents through B's merged rows (+33% bwd
+        conv FLOPs vs "merges"), yet still wins: at 8-16 channels the
+        per-kernel overhead of 2 extra dispatches outweighs the
+        wasted MXU work.
     Gradient topology is IDENTICAL for all modes: slicing a
     concatenated batch routes each loss term's cotangent only to its
     own rows (no cross-batch ops in the critic — no batchnorm), and

@@ -101,7 +101,7 @@ def make_critic_step(cfg, critic, tx: optax.GradientTransformation,
 
 def make_masker_step(cfg, critic, masker,
                      tx: optax.GradientTransformation,
-                     mesh=None, fuse: str = "merges") -> Callable:
+                     mesh=None, fuse: str = "both") -> Callable:
     """Returns jitted step:
     (state, a_u8 (2K,...), y (2K,), b_u8 (2K,...), key) ->
     (state, metrics dict). a is [K high || K low] frames (main.py:350),
