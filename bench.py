@@ -122,14 +122,22 @@ def main():
     # the deliverable — print before ANY optional extra can stall
     print(json.dumps(headline), flush=True)
 
+    # host-numpy param snapshots for the extras: the training chunks
+    # donate their TrainState (donate_argnums), and on a CPU backend
+    # JAX deletes donated input buffers in place — reusing the
+    # original cp/mp arrays after the first chunk dispatch would raise
+    # 'Array has been deleted' (the TPU path survives only because the
+    # CPU->TPU transfer is non-aliasable)
+    cp_h = jax.tree.map(np.asarray, cp)
+    mp_h = jax.tree.map(np.asarray, mp)
     extras = {}
     try:
         extras.update(_training_throughput(jax, jnp, critic, masker,
-                                           cp, mp))
+                                           cp_h, mp_h))
     except Exception as e:  # extras must never kill the recorded line
         extras["train_error"] = repr(e)[:200]
     try:
-        extras.update(_host_fed(jax, jnp, critic, masker, cp, mp,
+        extras.update(_host_fed(jax, jnp, critic, masker, cp_h, mp_h,
                                 MaskPipeline, batch))
     except Exception as e:
         extras["host_fed_error"] = repr(e)[:200]
@@ -189,19 +197,23 @@ def _training_throughput(jax, jnp, critic, masker, cp, mp):
 
     if remaining() < 45:
         return out
-    # masker phase: K=32 high + 32 low, 64 contrast-negatives
-    tx2 = make_optimizer()
-    mstate = init_train_state({"critic": cp, "masker": mp}, tx2,
-                              trained_param_keys(cfg))
-    mchunk = make_masker_chunk(cfg, critic, masker, tx2)
-    xpos = x_all[:512]
-    xneg = x_all[512:]
-    ypos, yneg = y_all[:512], y_all[512:]
-    h = jnp.asarray(rng.integers(0, 512, (S, 32), dtype=np.int32))
-    l = jnp.asarray(rng.integers(0, 512, (S, 32), dtype=np.int32))
-    c = jnp.asarray(rng.integers(0, 512, (S, 64), dtype=np.int32))
-    out["masker_train_steps_per_sec"] = round(
-        time_chunk(mchunk, mstate, xpos, ypos, xneg, yneg, h, l, c), 1)
+    try:  # keep the already-measured critic rate if this phase fails
+        # masker phase: K=32 high + 32 low, 64 contrast-negatives
+        tx2 = make_optimizer()
+        mstate = init_train_state({"critic": cp, "masker": mp}, tx2,
+                                  trained_param_keys(cfg))
+        mchunk = make_masker_chunk(cfg, critic, masker, tx2)
+        xpos = x_all[:512]
+        xneg = x_all[512:]
+        ypos, yneg = y_all[:512], y_all[512:]
+        h = jnp.asarray(rng.integers(0, 512, (S, 32), dtype=np.int32))
+        l = jnp.asarray(rng.integers(0, 512, (S, 32), dtype=np.int32))
+        c = jnp.asarray(rng.integers(0, 512, (S, 64), dtype=np.int32))
+        out["masker_train_steps_per_sec"] = round(
+            time_chunk(mchunk, mstate, xpos, ypos, xneg, yneg,
+                       h, l, c), 1)
+    except Exception as e:
+        out["masker_train_error"] = repr(e)[:200]
     return out
 
 

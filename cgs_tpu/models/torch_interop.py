@@ -130,15 +130,25 @@ def _wb(state: Dict, prefix: str) -> Dict:
             "bias": np.array(state[f"{prefix}.bias"], copy=True)}
 
 
-def _wb_flattened(state: Dict, prefix: str, chw) -> Dict:
+def _wb_flattened(state: Dict, prefix: str, channels: int) -> Dict:
     """Dense slot that consumes a FLATTENED feature map: torch
     flattens NCHW (input index c*H*W + h*W + w), flax flattens NHWC
     (h*W*C + w*C + c) — permute the weight's input axis accordingly.
-    (No-op only when H=W=1, e.g. the production critic's bottleneck.)"""
-    c, h, w = chw
+    (No-op only when H=W=1, e.g. the production critic's bottleneck.)
+
+    The spatial side is inferred from the weight's input width, so
+    checkpoints saved at non-default resize (reference VGGCritic's
+    `resize` arg scales the flatten to 512*(2*fak)^2, nets.py:765-768)
+    convert correctly."""
     wt = np.array(state[f"{prefix}.weight"], copy=True)  # (out, c*h*w)
-    wt = wt.reshape(wt.shape[0], c, h, w).transpose(0, 2, 3, 1)
-    wt = wt.reshape(wt.shape[0], h * w * c)
+    hw, rem = divmod(wt.shape[1], channels)
+    side = int(round(hw ** 0.5))
+    if rem or side * side != hw:
+        raise ValueError(
+            f"{prefix}.weight input width {wt.shape[1]} is not "
+            f"{channels} x side^2 — unexpected head geometry")
+    wt = wt.reshape(wt.shape[0], channels, side, side)
+    wt = wt.transpose(0, 2, 3, 1).reshape(wt.shape[0], hw * channels)
     return {"kernel": np.transpose(wt),
             "bias": np.array(state[f"{prefix}.bias"], copy=True)}
 
@@ -154,11 +164,16 @@ def vgg11_torch_to_flax(state: Dict, features_prefix: str = "features",
              for li, ti in enumerate(VGG11_FEATURE_CONV_IDX)}
     if not head:
         return feats
+    if "head.1.weight" not in state:
+        raise ValueError(
+            "state_dict has no VGGCritic head ('head.1.*' missing — "
+            "a bare vgg11 .features dict has none): pass head=False "
+            "to convert the backbone alone")
     params = {"features": feats}
     # head Sequential [Flatten, Linear, ReLU, Linear, ReLU, Linear]
     # (nets.py:766-772) -> parametered slots 1, 3, 5; fc0 eats the
-    # flattened (512,2,2) feature map, so its input axis is permuted
-    params["fc0"] = _wb_flattened(state, "head.1", (512, 2, 2))
+    # flattened 512-channel feature map, so its input axis is permuted
+    params["fc0"] = _wb_flattened(state, "head.1", 512)
     params["fc1"] = _wb(state, "head.3")
     params["fc2"] = _wb(state, "head.5")
     return params
@@ -223,10 +238,16 @@ def resnet18_torch_to_flax(state: Dict, head: bool = True):
             params["resnet"][fb] = bp
             stats["resnet"][fb] = bs
     if head:
+        if "head.1.weight" not in state:
+            raise ValueError(
+                "state_dict has no ResNetCritic head ('head.1.*' "
+                "missing — a raw torchvision resnet18 carries only "
+                "its 1000-class 'fc' instead): pass head=False to "
+                "convert the backbone alone")
         # head Sequential [Flatten, Linear, ReLU, Linear]
         # (nets.py:711-716) -> parametered slots 1, 3; fc0 eats the
-        # flattened (512,2,2) feature map (NCHW vs NHWC flatten order)
-        params["fc0"] = _wb_flattened(state, "head.1", (512, 2, 2))
+        # flattened 512-channel map (NCHW vs NHWC flatten order)
+        params["fc0"] = _wb_flattened(state, "head.1", 512)
         params["fc1"] = _wb(state, "head.3")
     return params, stats
 
@@ -239,11 +260,13 @@ def load_pt_vgg_critic(path: str) -> Dict:
         {k: v.numpy() for k, v in state.items()})
 
 
-def load_pt_resnet_critic(path: str):
+def load_pt_resnet_critic(path: str, head: bool = True):
     """Load a reference ResNetCritic .pt ->
-    {'params': ..., 'batch_stats': ...} for zoo.ResNetCritic.apply."""
+    {'params': ..., 'batch_stats': ...} for zoo.ResNetCritic.apply.
+    head=False converts backbone-only blobs (e.g. a raw torchvision
+    resnet18 .pt, whose 1000-class 'fc' is not the critic head)."""
     import torch
     state = torch.load(path, map_location="cpu")
     params, stats = resnet18_torch_to_flax(
-        {k: v.numpy() for k, v in state.items()})
+        {k: v.numpy() for k, v in state.items()}, head=head)
     return {"params": params, "batch_stats": stats}

@@ -244,3 +244,53 @@ def test_resnet_raw_torchvision_grammar(frames):
     for a, b in zip(jax.tree_util.tree_leaves(s1),
                     jax.tree_util.tree_leaves(s2)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_missing_head_raises_helpful_error():
+    """head=True on a backbone-only state_dict must fail with a clear
+    message (raw torchvision resnet18 carries 'fc', not the critic
+    head; a bare vgg11 .features has no head at all)."""
+    torch.manual_seed(3)
+    feats = make_torch_vgg11_features()
+    vgg_state = {f"features.{k}": v.numpy()
+                 for k, v in feats.state_dict().items()}
+    with pytest.raises(ValueError, match="head=False"):
+        vgg11_torch_to_flax(vgg_state)
+
+    res = make_torch_resnet18_features()
+    idx_to_name = {"0": "conv1", "1": "bn1", "4": "layer1",
+                   "5": "layer2", "6": "layer3", "7": "layer4"}
+    raw = {}
+    for k, v in res.state_dict().items():
+        idx, rest = k.split(".", 1)
+        raw[f"{idx_to_name[idx]}.{rest}"] = v.numpy()
+    raw["fc.weight"] = np.zeros((1000, 512), np.float32)
+    raw["fc.bias"] = np.zeros((1000,), np.float32)
+    with pytest.raises(ValueError, match="head=False"):
+        resnet18_torch_to_flax(raw)
+    params, stats = resnet18_torch_to_flax(raw, head=False)
+    assert "fc0" not in params and "Conv_0" in params["resnet"]
+
+
+def test_flattened_head_infers_resize_geometry():
+    """Reference VGGCritic(resize=(128,128)) saves head.1 with input
+    width 512*4*4=8192 (nets.py:765-768); the converter must infer the
+    4x4 spatial side instead of assuming 2x2."""
+    from cgs_tpu.models.torch_interop import _wb_flattened
+
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((256, 512 * 4 * 4)).astype(np.float32)
+    b = rng.standard_normal(256).astype(np.float32)
+    out = _wb_flattened({"head.1.weight": w, "head.1.bias": b},
+                        "head.1", 512)
+    assert out["kernel"].shape == (8192, 256)
+    # spot-check the permutation: torch input index (c,h,w) ->
+    # flax input index (h,w,c)
+    c, h, wx = 37, 3, 1
+    torch_idx = c * 16 + h * 4 + wx
+    flax_idx = h * 4 * 512 + wx * 512 + c
+    np.testing.assert_array_equal(out["kernel"][flax_idx],
+                                  w[:, torch_idx])
+    with pytest.raises(ValueError, match="head geometry"):
+        _wb_flattened({"head.1.weight": w[:, :2040],
+                       "head.1.bias": b}, "head.1", 512)
