@@ -219,9 +219,8 @@ def clean_data(cfg, datadir: str = "train/data/straight/",
         yrow[chunk_chops - k] = 1
 
     out = (x[clean_idxs], yrow[clean_idxs], i[clean_idxs])
-    from cgs_tpu.parallel.multihost import is_primary
-    if is_primary():      # see save_cache: no concurrent writers
-        os.makedirs(datadir, exist_ok=True)
-        with gzip.open(path, "wb") as fp:
-            pickle.dump(out, fp)
+    # save_cache: host-0-only, atomic tmp+rename publish, sha256
+    # sidecar — a crash mid-write must not leave a truncated pickle
+    # the next run's os.path.exists check would accept
+    save_cache(path, *out)
     return out

@@ -79,10 +79,16 @@ def load_eval_set(cfg, evaldatapath: str = "red-trees/",
 
 def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
              crf_fn=None, best_iou: float = 0.0,
-             out_dir: str = "eval-results") -> Dict:
+             out_dir: str = "eval-results", write: bool = True) -> Dict:
     """Returns {'ious': [...], 'masks': ..., 'preds': ...} mirroring
     the reference's eval() variant order: [mask, (crf), (saliency),
-    (saliency+crf)] (main.py:1005-1015)."""
+    (saliency+crf)] (main.py:1005-1015).
+
+    write=False skips the file artifacts (resimages PNG dumps, best-
+    IoU video) while still running the identical SPMD compute — the
+    multi-host rule: every process executes the same device programs,
+    only host 0 writes (CLAUDE.md; cfg must NOT be mutated per-host,
+    since cfg.resimages also selects the eval DATA in load_eval_set)."""
     x_u8 = (x * 255).astype(np.uint8)
     out = pipeline.run(x_u8)
     preds, masks, sal = out.preds, out.masks, out.saliency
@@ -122,9 +128,9 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
 
     result = {"ious": ious, "preds": preds, "variants": variants}
 
-    if cfg.resimages:  # per-frame hard-mask dumps (main.py:1022-1025
-        # intent; the reference's own code path crashes on a missing
-        # imsave argument)
+    if cfg.resimages and write:  # per-frame hard-mask dumps
+        # (main.py:1022-1025 intent; the reference's own code path
+        # crashes on a missing imsave argument)
         from cgs_tpu.utils.artifacts import save_image
         resdir = os.path.join(out_dir, "resimages")
         os.makedirs(resdir, exist_ok=True)
@@ -132,7 +138,7 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
             save_image(os.path.join(resdir, f"{i}.png"),
                        m.astype(np.float32))
 
-    if ious[0] > best_iou and cfg.visbesteval:            # main.py:1027
+    if ious[0] > best_iou and cfg.visbesteval and write:  # main.py:1027
         os.makedirs(out_dir, exist_ok=True)
         video_path = os.path.join(
             cfg.output_video or out_dir, f"iou={ious[0]}.mp4")
@@ -171,8 +177,11 @@ def render_eval_video(path: str, x: np.ndarray, gt: np.ndarray,
       that doubles in height for the short layouts. Titles carry the
       *measured* IoUs instead of the reference's hard-coded paper
       numbers (documented deviation). Every frame renders (the
-      reference writes the full array); frames stream to the writer
-      chunk-free in memory."""
+      reference writes the full array); the RGB-triplication and
+      TP/FN/FP color-coding are built per 64-frame chunk inside the
+      write loop, so peak memory is bounded by the chunk, not the
+      ~2 GB a full-length float32 column set would cost on the
+      default 2450-frame eval."""
     from PIL import Image, ImageDraw
 
     from cgs_tpu.utils.artifacts import load_font
@@ -212,24 +221,19 @@ def render_eval_video(path: str, x: np.ndarray, gt: np.ndarray,
     fosi = 30
     font = load_font(size=fosi * 2 // 3)
 
-    cols_top, cols_bot, titles = [], [], []
+    # (kind, frames) per column; expansion to RGB/color-code happens
+    # per chunk in the write loop. Color-coding is keyed on the column
+    # KIND like the reference's fixed index set (main.py:1051) — a
+    # saturated soft mask must not flip the panel style.
+    cols, titles = [], []
     for i in reordering:
         if i == 0:
             titles.append("RGB\nimage")
-            cols_top.append(x[:n])
-            cols_bot.append(x[:n])
+            cols.append(("rgb", x[:n]))
             continue
         title, m, binary = all_m[i - 1]
         titles.append(title)
-        mm = m[:n].astype(np.float32)
-        cols_top.append(np.repeat(mm[..., None], 3, axis=-1))
-        # color-coding is keyed on the column KIND like the
-        # reference's fixed index set (main.py:1051) — a saturated
-        # soft mask must not flip the panel style
-        if binary:
-            cols_bot.append(_color_code(gt[:n], mm))
-        else:
-            cols_bot.append(0.1 * np.ones_like(cols_top[-1]))
+        cols.append(("bin" if binary else "soft", m[:n]))
 
     # static banner + legend rows (composited once)
     ncols = len(reordering)
@@ -259,8 +263,19 @@ def render_eval_video(path: str, x: np.ndarray, gt: np.ndarray,
         chunk = 64
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            top = np.concatenate([c[lo:hi] for c in cols_top], axis=2)
-            bot = np.concatenate([c[lo:hi] for c in cols_bot], axis=2)
+            tops, bots = [], []
+            for kind, arr in cols:
+                if kind == "rgb":
+                    tops.append(arr[lo:hi])
+                    bots.append(arr[lo:hi])
+                    continue
+                mm = arr[lo:hi].astype(np.float32)
+                t = np.repeat(mm[..., None], 3, axis=-1)
+                tops.append(t)
+                bots.append(_color_code(gt[lo:hi], mm) if kind == "bin"
+                            else 0.1 * np.ones_like(t))
+            top = np.concatenate(tops, axis=2)
+            bot = np.concatenate(bots, axis=2)
             fr = np.concatenate([top, bot], axis=1)
             fr = (255 * np.clip(fr, 0, 1)).astype(np.uint8)
             fr = fr.repeat(scale, axis=1).repeat(scale, axis=2)

@@ -59,7 +59,8 @@ def _mask_variants(cfg, pipeline, x: np.ndarray, crf_fn=None):
     """(preds, ordered variant list) for float frames x in [0,1] —
     the allM construction (main.py:1160-1203), shared by the folder
     and video drivers."""
-    out = pipeline.run((x * 255).astype(np.uint8))
+    x_u8 = (x * 255).astype(np.uint8)  # one conversion for pipeline+CRFs
+    out = pipeline.run(x_u8)
     preds, masks, sal = out.preds, out.masks, out.saliency
 
     all_m: List[np.ndarray] = [masks.squeeze(-1)]
@@ -67,7 +68,7 @@ def _mask_variants(cfg, pipeline, x: np.ndarray, crf_fn=None):
         all_m.append((masks >= cfg.binarymaskthreshold).squeeze(-1)
                      .astype(np.float32))
     if cfg.crf and crf_fn is not None:           # main.py:1169-1172
-        all_m.append(crf_fn((x * 255).astype(np.uint8),
+        all_m.append(crf_fn(x_u8,
                             masks.squeeze(-1)).astype(np.float32))
     if cfg.process_salience and sal is not None:  # main.py:1176-1203
         norm_fn = normalize_saliency_global if cfg.salglobal \
@@ -77,8 +78,7 @@ def _mask_variants(cfg, pipeline, x: np.ndarray, crf_fn=None):
         all_m.extend([sal_soft.squeeze(-1),
                       sal_hard.squeeze(-1).astype(np.float32)])
         if cfg.crf and crf_fn is not None:
-            all_m.append(crf_fn((x * 255).astype(np.uint8),
-                                sal_soft.squeeze(-1))
+            all_m.append(crf_fn(x_u8, sal_soft.squeeze(-1))
                          .astype(np.float32))
     return preds, all_m
 

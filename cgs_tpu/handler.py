@@ -526,16 +526,18 @@ class Handler:
         directory of images against an all-zero GT (reference
         main.py:917-918 semantics)."""
         cfg = self.cfg
-        if not self.primary:      # artifacts are host 0's job
-            import dataclasses as _dc
-            cfg = _dc.replace(cfg, visbesteval=False, resimages=False)
         out_dir = f"eval-results/{cfg.name}/"
         if folder not in self._eval_sets:
             self._eval_sets[folder] = load_eval_set(cfg, folder=folder)
         x, gt = self._eval_sets[folder]
         pipe = self._pipeline(salience=cfg.salience)
+        # every host runs the identical SPMD compute on the identical
+        # data; write=False gates only host artifacts (cfg mutation
+        # would change WHAT non-primary hosts evaluate — resimages
+        # also selects the data source in load_eval_set)
         result = evaluate(cfg, pipe, x, gt, crf_fn=self._crf_fn(),
-                          best_iou=self.ious[0], out_dir=out_dir)
+                          best_iou=self.ious[0], out_dir=out_dir,
+                          write=self.primary)
         ious = result["ious"]
         # NOTE: the best-tracker update is intentionally absent here —
         # the reference has it commented out (main.py:1018), so every

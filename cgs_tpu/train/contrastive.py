@@ -16,6 +16,7 @@ and ships per-epoch int32 index stacks to the scanned trainer.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Tuple
 
 import jax
@@ -25,24 +26,28 @@ import numpy as np
 from cgs_tpu.train.losses import ingest
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _sweep(critic, cparams, x_all, idx):
+    """Jitted full-dataset critic sweep: (cparams, x_all u8 (N,...),
+    idx (C, batch) int32 pre-padded) -> preds (C*batch,) — caller
+    trims padding. Always deterministic: the reference sweeps with
+    critic.eval() (main.py:240). critic (a hashable flax Module) is a
+    static argument so repeated sweeps hit the jit cache instead of
+    re-tracing a fresh closure per call."""
+
+    def body(_, bidx):
+        xb = ingest(jnp.take(x_all, bidx, axis=0))
+        pred = critic.apply({"params": cparams}, xb,
+                            deterministic=True)
+        return 0, pred.squeeze(-1)
+
+    _, preds = jax.lax.scan(body, 0, idx)
+    return preds.reshape(-1)
+
+
 def make_sweep_fn(critic) -> Callable:
-    """Jitted full-dataset critic sweep: (cparams, x_all u8 (N,...))
-    -> preds (ceil(N/batch)*batch,) — caller trims padding. Always
-    deterministic: the reference sweeps with critic.eval()
-    (main.py:240); batch geometry comes from the idx argument."""
-
-    def sweep(cparams, x_all, idx):
-        # idx: (C, batch) int32, pre-padded
-        def body(_, bidx):
-            xb = ingest(jnp.take(x_all, bidx, axis=0))
-            pred = critic.apply({"params": cparams}, xb,
-                                deterministic=True)
-            return 0, pred.squeeze(-1)
-
-        _, preds = jax.lax.scan(body, 0, idx)
-        return preds.reshape(-1)
-
-    return jax.jit(sweep)
+    """Back-compat shim over the cached `_sweep` jit."""
+    return functools.partial(_sweep, critic)
 
 
 def critic_sweep(critic, cparams, x_dev, n: int,
@@ -103,17 +108,20 @@ def extract_contrastive_sets(cfg, critic, cparams, x_dev, y_row,
     if cfg.critic or cfg.cload:
         assert preds[pos].mean() > cfg.high_rew_thresh  # main.py:302
 
-    # host-numpy indices and labels: uncommitted operands follow
-    # x_dev's (possibly multi-process global) sharding; the Handler
-    # re-places the banks explicitly when meshed
+    # host-numpy indices: uncommitted operands follow x_dev's
+    # (possibly multi-process global) sharding; the Handler re-places
+    # all four banks explicitly when meshed (replicate_tree routes
+    # through host numpy for multi-process). The label rows go on
+    # device here too — leaving them host numpy re-shipped them
+    # through the tunnel on EVERY chunk dispatch of the masker phase
     pos_idx = np.nonzero(pos)[0].astype(np.int32)
     neg_idx = np.nonzero(neg)[0].astype(np.int32)
     take = jax.jit(lambda x, i: jnp.take(x, i, axis=0))
     return ContrastiveSets(
         xpos=take(x_dev, pos_idx),
-        ypos=y_row[pos],
+        ypos=jnp.asarray(y_row[pos], jnp.float32),
         xneg=take(x_dev, neg_idx),
-        yneg=y_row[neg],
+        yneg=jnp.asarray(y_row[neg], jnp.float32),
         preds=preds, pos_mask=pos, neg_mask=neg,
     )
 

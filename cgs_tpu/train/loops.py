@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import optax
 
 from cgs_tpu.ops.augment import shift_batch
+from cgs_tpu.ops.merge import inject_merge, replace_merge
 from cgs_tpu.train.losses import build_critic_loss, build_masker_loss, ingest
 from cgs_tpu.train.steps import TrainState, trained_param_keys
 
@@ -197,8 +198,8 @@ def make_masker_viz_fn(cfg, critic, masker) -> Callable:
         z = aux["z"]
         return {
             "a": a, "b": b, "z": z,
-            "replaced": a * (1 - z) + z * b,
-            "injected": b * (1 - z) + z * a,
+            "replaced": replace_merge(a, b, z),
+            "injected": inject_merge(a, b, z),
             "y": y, "pred": aux["pred"], "negpred": aux["negpred"],
             "replacevalue": aux["replacevalue"],
             "injectvalue": aux["injectvalue"],

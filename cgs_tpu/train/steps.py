@@ -92,7 +92,8 @@ def make_critic_step(cfg, critic, tx: optax.GradientTransformation,
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), loss
 
-    return _jit_step(step, mesh, n_batch_args=2)
+    return _jit_step(step, mesh, n_batch_args=2,
+                     batch=int(cfg.batch_size))
 
 
 # ---------------------------------------------------------------------
@@ -133,20 +134,30 @@ def make_masker_step(cfg, critic, masker,
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), metrics
 
-    return _jit_step(step, mesh, n_batch_args=3)
+    # the masker batch is the fixed 2K=64 contrastive draw
+    # (main.py:306,350) — K=32 is hard-coded in the reference
+    return _jit_step(step, mesh, n_batch_args=3, batch=64)
 
 
 # ---------------------------------------------------------------------
 # jit / mesh plumbing
 # ---------------------------------------------------------------------
 
-def _jit_step(step: Callable, mesh, n_batch_args: int) -> Callable:
+def _jit_step(step: Callable, mesh, n_batch_args: int,
+              batch: int = None) -> Callable:
     """jit a step function; with a mesh, shard batch args over 'data'
-    and replicate state + rng."""
+    and replicate state + rng. `batch` is the expected leading dim of
+    the batch args: when it does not divide over the 'data' extent,
+    fall back to replicated placement (correct math on every chip)
+    instead of a sharding error at dispatch — the same degradation
+    rule as parallel/mesh.py:index_sharding."""
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    if batch is not None and batch % mesh.shape["data"]:
+        data = repl
+    else:
+        data = NamedSharding(mesh, P("data"))
     in_shardings = (repl,) + (data,) * n_batch_args + (repl,)
     return jax.jit(step, in_shardings=in_shardings,
                    donate_argnums=(0,))
