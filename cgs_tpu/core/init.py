@@ -38,3 +38,29 @@ def make_torch_bias_init(kernel_shape):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init
+
+
+def _convT_fan_in(shape) -> int:
+    """torch ConvTranspose2d fan-in: its weight is (in, out, kh, kw)
+    and _calculate_fan_in_and_fan_out takes size(1) x receptive field
+    = OUT_ch * kh * kw. flax ConvTranspose kernels are
+    (kh, kw, in, out)."""
+    return int(shape[-1] * np.prod(shape[:-2]))
+
+
+def torch_convT_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.ConvTranspose2d default weight init:
+    U(-1/sqrt(out*k^2), +1/sqrt(out*k^2))."""
+    bound = 1.0 / np.sqrt(_convT_fan_in(shape))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def make_torch_convT_bias_init(kernel_shape):
+    """torch nn.ConvTranspose2d default bias init (same fan-in rule
+    as its weight: out*k^2)."""
+    bound = 1.0 / np.sqrt(_convT_fan_in(kernel_shape))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init

@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cgs_tpu.core.init import make_torch_bias_init, torch_kernel_init
+from cgs_tpu.core.init import (
+    make_torch_bias_init, make_torch_convT_bias_init, torch_kernel_init,
+    torch_convT_kernel_init,
+)
 from cgs_tpu.models.decoder import upsample2x
 
 Array = jnp.ndarray
@@ -48,11 +51,15 @@ def _dense(features, in_ch, name=None):
 
 
 def _convT(features, kernel, stride, padding, in_ch, name=None):
-    kshape = (kernel, kernel, in_ch, features)
+    # torch ConvTranspose2d weight is (in, out, kh, kw) and its
+    # default init takes fan_in = weight.size(1) * kh * kw =
+    # OUT_ch * k^2 (not in_ch like Conv2d) — verified empirically:
+    # nn.ConvTranspose2d(32, 16, 4) draws |w| <= 1/sqrt(16*16)
     return nn.ConvTranspose(features, (kernel, kernel),
                             (stride, stride), padding=padding,
-                            kernel_init=torch_kernel_init,
-                            bias_init=make_torch_bias_init(kshape),
+                            kernel_init=torch_convT_kernel_init,
+                            bias_init=make_torch_convT_bias_init(
+                                (kernel, kernel, in_ch, features)),
                             name=name)
 
 
@@ -350,9 +357,14 @@ class GroundedUnet(nn.Module):
         acti = nn.relu
 
         def down(h):
+            # antialias=False matches the reference's
+            # F.interpolate(scale_factor=0.5, mode='bilinear',
+            # align_corners=False) (nets.py:653) exactly — torch does
+            # not antialias, jax.image.resize does by default
+            # (verified: 4x4 ramp -> [2.5,4.5,10.5,12.5] both ways)
             return jax.image.resize(
                 h, (h.shape[0], h.shape[1] // 2, h.shape[2] // 2,
-                    h.shape[3]), "bilinear")
+                    h.shape[3]), "bilinear", antialias=False)
 
         pool = lambda h: nn.max_pool(h, (2, 2), strides=(2, 2))  # noqa: E731
         x0 = acti(_conv(e[0], 3, 1, "SAME", self.colorchs, "enc0")(x))
@@ -469,9 +481,13 @@ class VGGCritic(nn.Module):
         if normalize:
             x = imagenet_normalize(x)
         if self.resize != 64:
+            # the reference's F.interpolate(X, self.resize)
+            # (nets.py:783) uses the DEFAULT mode='nearest'; jax
+            # 'nearest' matches it at the integer scale factors the
+            # head geometry requires (verified vs torch)
             x = jax.image.resize(
                 x, (x.shape[0], self.resize, self.resize, 3),
-                "bilinear")
+                "nearest")
         feats = VGG11Features(name="features")(x)
         h = feats.reshape((feats.shape[0], -1))
         fak = self.resize // 64

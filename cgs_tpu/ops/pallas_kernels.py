@@ -67,11 +67,18 @@ def _normalize_kernel(u8_ref, out_ref):
     out_ref[:] = x * (1.0 / 255.0)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
-def normalize_u8(x_u8: Array, block_n: int = 128) -> Array:
-    """uint8 (N, F) -> float32 (N, F) / 255. F must be a multiple of 128."""
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def normalize_u8(x_u8: Array, block_n: int = 128,
+                 interpret: bool = None) -> Array:
+    """uint8 (N, F) -> float32 (N, F) / 255. F must be a multiple of
+    128. interpret=None derives the mode from the default backend;
+    callers compiling for an explicit non-default TPU mesh (CLAUDE.md's
+    cpu-default + tpu-mesh coexistence pattern) must pass False to get
+    the real Mosaic kernel."""
     n, f = x_u8.shape
     assert f % 128 == 0, f"lane dim {f} must be a multiple of 128"
+    if n == 0:
+        return jnp.zeros((0, f), jnp.float32)
     block_n = min(block_n, n)
     grid = (_cdiv(n, block_n),)
     return pl.pallas_call(
@@ -82,7 +89,7 @@ def normalize_u8(x_u8: Array, block_n: int = 128) -> Array:
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((block_n, f), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(x_u8)
 
 
@@ -109,6 +116,9 @@ def merge_pair(a: Array, b: Array, z: Array, block_n: int = 64):
     """
     n, f = a.shape
     assert f % 128 == 0
+    if n == 0:
+        z0 = jnp.zeros((0, f), jnp.float32)
+        return z0, z0
     block_n = min(block_n, n)
     grid = (_cdiv(n, block_n),)
     spec = pl.BlockSpec((block_n, f), lambda i: (i, 0),
@@ -145,6 +155,9 @@ def merge_pair_bwd(a: Array, b: Array, z: Array, gr: Array, gi: Array,
     `merge_pair`."""
     n, f = a.shape
     assert f % 128 == 0
+    if n == 0:
+        z0 = jnp.zeros((0, f), jnp.float32)
+        return z0, z0, z0
     block_n = min(block_n, n)
     grid = (_cdiv(n, block_n),)
     spec = pl.BlockSpec((block_n, f), lambda i: (i, 0),
@@ -214,6 +227,9 @@ def threshold_iou(masks: Array, gt: Array, thresh: float,
     """
     n, f = masks.shape
     assert f % 128 == 0
+    if n == 0:  # empty set: 0/0 counts, not a ZeroDivision at trace
+        zero = jnp.zeros((), jnp.int32)
+        return zero, zero
     block_n = min(block_n, n)
     grid = (_cdiv(n, block_n),)
     spec = pl.BlockSpec((block_n, f), lambda i: (i, 0),

@@ -108,7 +108,15 @@ class MaskPipeline:
             if pallas_ingest:
                 from cgs_tpu.ops.pallas_kernels import normalize_u8
                 n = u8.shape[0]
-                x = normalize_u8(u8.reshape(n, -1)).reshape(u8.shape)
+                # interpret=False explicitly: _pallas_ingest already
+                # established the computation lands on TPU hardware;
+                # normalize_u8's own default keys off
+                # jax.default_backend(), which can be 'cpu' while an
+                # explicit TPU mesh runs this program (CLAUDE.md
+                # coexistence pattern) — that would silently swap in
+                # the lax-op emulation
+                x = normalize_u8(u8.reshape(n, -1),
+                                 interpret=False).reshape(u8.shape)
             else:
                 x = u8.astype(jnp.float32) * (1.0 / 255.0)
             ks = jax.random.split(key, 3)

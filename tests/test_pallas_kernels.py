@@ -180,3 +180,21 @@ class TestPallasUpsample:
             {"params": mp}, x, em)
         b = m_ref.apply({"params": mp}, x, em)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kernels_accept_empty_inputs():
+    """N=0 must yield empty/zero results, not a ZeroDivisionError in
+    the grid computation (e.g. device-resident IoU of an empty eval
+    folder)."""
+    from cgs_tpu.ops.pallas_kernels import (
+        merge_pair, merge_pair_bwd, normalize_u8, threshold_iou,
+    )
+
+    e = jnp.zeros((0, 128), jnp.float32)
+    assert normalize_u8(jnp.zeros((0, 128), jnp.uint8)).shape == (0, 128)
+    r, i = merge_pair(e, e, e)
+    assert r.shape == i.shape == (0, 128)
+    da, db, dz = merge_pair_bwd(e, e, e, e, e)
+    assert da.shape == db.shape == dz.shape == (0, 128)
+    inter, union = threshold_iou(e, jnp.zeros((0, 128), bool), 0.5)
+    assert int(inter) == 0 and int(union) == 0
