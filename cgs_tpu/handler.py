@@ -39,7 +39,8 @@ from cgs_tpu.parallel.mesh import (
 )
 from cgs_tpu.parallel.multihost import is_primary
 from cgs_tpu.pipeline import MaskPipeline
-from cgs_tpu.train.checkpoints import load_model_pt, save_model_pt
+from cgs_tpu.train.checkpoints import (
+    checkpoint_paths, load_model_pt, save_model_pt)
 from cgs_tpu.train.contrastive import (
     extract_contrastive_sets, sample_index_stacks,
 )
@@ -88,14 +89,7 @@ class Handler:
         # run layout (main.py:93-102)
         self.path = f"{cfg.name}/"
         self.save_path = self.path + "saves/"
-        self.save_paths = {
-            CRITIC: f"{self.save_path}critic-"
-                    f"{cfg.critic_fingerprint()}.pt",
-            MASKER: f"{self.save_path}masker-"
-                    f"{cfg.masker_fingerprint()}.pt",
-            SEPCRIT: f"{self.save_path}sepcrit-"
-                     f"{cfg.critic_fingerprint()}.pt",
-        }
+        self.save_paths = checkpoint_paths(cfg)
         self.metrics = MetricsWriter(self.path, enabled=self.primary)
         self.profiler = Profiler(cfg.profile or None)
         self.data: Optional[DataBundle] = None
@@ -184,11 +178,17 @@ class Handler:
             else False
         ok = bool(multihost_utils.broadcast_one_to_all(
             np.int32(ok)))
-        if ok:
-            for name in modelnames:
-                self.params[name] = jax.tree.map(
-                    np.asarray, multihost_utils.broadcast_one_to_all(
-                        jax.tree.map(np.asarray, self.params[name])))
+        # broadcast host 0's values even on the False path:
+        # _load_models_local mutates self.params model-by-model before
+        # discovering a later checkpoint is missing (reference quirk,
+        # main.py:136-147), so host 0 can hold a partial load while
+        # the others hold random init — later replicate_tree calls
+        # would then build 'replicated' arrays that silently differ
+        # across processes
+        for name in modelnames:
+            self.params[name] = jax.tree.map(
+                np.asarray, multihost_utils.broadcast_one_to_all(
+                    jax.tree.map(np.asarray, self.params[name])))
         return ok
 
     def _load_models_local(self, modelnames: List[str]) -> bool:
@@ -597,3 +597,9 @@ class Handler:
         """Gated print (main.py:887-889)."""
         if key in ("info",):
             print(*args, **kwargs)
+
+    def close(self) -> None:
+        """Release held resources (the metrics.jsonl handle). Needed
+        by multi-Handler processes (sandbox/multirun's per-seed sweep)
+        — a single CLI run can rely on process exit."""
+        self.metrics.close()

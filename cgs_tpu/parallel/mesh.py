@@ -29,6 +29,13 @@ def make_mesh(n_data: int = 0, n_model: int = 1,
     devices = devices if devices is not None else jax.devices()
     if n_data <= 0:
         n_data = max(1, len(devices) // n_model)
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model) needs "
+            f"{n_data * n_model} devices but only {len(devices)} are "
+            "available — lower --data-parallel (or set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count for a "
+            "virtual CPU mesh)")
     use = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(use, axis_names=("data", "model"))
 

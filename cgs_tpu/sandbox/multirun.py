@@ -29,6 +29,7 @@ def run_seeds(argv: List[str], runs: int,
         # never updated by eval() (main.py:1018 is commented out)
         ious.append(handler.last_ious[0] if handler.last_ious
                     else float(handler.ious[0]))
+        handler.close()   # release the per-run metrics.jsonl handle
         print(f"[multirun] seed {seed}: IoU {ious[-1]}")
 
     arr = np.asarray(ious)

@@ -35,15 +35,6 @@ import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-
-class _Server(ThreadingHTTPServer):
-    """ThreadingHTTPServer's default accept backlog is 5 — a burst of
-    concurrent clients (the micro-batcher's whole point) gets
-    connection resets before the handler ever runs. 128 covers the
-    batch-formation concurrency the batcher is sized for."""
-    request_queue_size = 128
-    daemon_threads = True
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
@@ -54,6 +45,15 @@ from cgs_tpu.core.config import Config, parse_args
 VARIANTS = ("raw", "thresholded", "crf")
 
 
+class _Server(ThreadingHTTPServer):
+    """ThreadingHTTPServer's default accept backlog is 5 — a burst of
+    concurrent clients (the micro-batcher's whole point) gets
+    connection resets before the handler ever runs. 128 covers the
+    batch-formation concurrency the batcher is sized for."""
+    request_queue_size = 128
+    daemon_threads = True
+
+
 @dataclass
 class _Request:
     frame: np.ndarray                  # (64, 64, 3) uint8
@@ -61,6 +61,7 @@ class _Request:
     mask: Optional[np.ndarray] = None  # (64, 64) f32 soft mask
     pred: float = 0.0
     error: Optional[str] = None        # batch-level failure message
+    abandoned: bool = False            # submitter gave up (timeout)
 
 
 class ServerError(RuntimeError):
@@ -100,9 +101,20 @@ class MicroBatcher:
         self._completer.start()
 
     def submit(self, frame: np.ndarray, timeout: float = 30.0) -> _Request:
-        req = _Request(frame=frame)
+        frame = np.asarray(frame)
+        if frame.shape != (64, 64, 3):
+            # reject here, per-request — a bad shape reaching the
+            # batch-fill loop would be a batch-level failure at best
+            raise ValueError(
+                f"expected frame shape (64, 64, 3), got {frame.shape}")
+        req = _Request(frame=frame.astype(np.uint8, copy=False))
         self.q.put(req)
         if not req.done.wait(timeout):
+            # mark it so the dispatch thread stops spending device
+            # batches on frames nobody will read — under sustained
+            # overload every queued-then-503'd request would otherwise
+            # still cost a full padded dispatch
+            req.abandoned = True
             raise ServerError("inference timed out")
         if req.error is not None:
             raise ServerError(req.error)
@@ -128,21 +140,25 @@ class MicroBatcher:
 
     def _drain(self) -> list:
         """Block for one request, then collect more until the batch is
-        full or max_wait has elapsed since the first arrival."""
+        full or max_wait has elapsed since the first arrival.
+        Abandoned requests (submit() already timed out and 503'd the
+        client) are dropped here instead of wasting dispatch slots."""
         try:
             first = self.q.get(timeout=0.1)
         except queue.Empty:
             return []
-        reqs = [first]
+        reqs = [] if first.abandoned else [first]
         deadline = time.monotonic() + self.max_wait
         while len(reqs) < self.batch:
             left = deadline - time.monotonic()
             if left <= 0:
                 break
             try:
-                reqs.append(self.q.get(timeout=left))
+                req = self.q.get(timeout=left)
             except queue.Empty:
                 break
+            if not req.abandoned:
+                reqs.append(req)
         return reqs
 
     @staticmethod
@@ -165,10 +181,14 @@ class MicroBatcher:
             reqs = self._drain()
             if not reqs:
                 continue
-            frames = np.zeros((self.batch, 64, 64, 3), np.uint8)
-            for i, r in enumerate(reqs):
-                frames[i] = r.frame
             try:
+                # the fill loop lives INSIDE the guard: any surprise
+                # here (shape drift despite the submit() check, a
+                # non-array frame) must fail the batch, not kill the
+                # dispatch thread and zombie the whole server
+                frames = np.zeros((self.batch, 64, 64, 3), np.uint8)
+                for i, r in enumerate(reqs):
+                    frames[i] = r.frame
                 # async dispatch: returns device futures immediately
                 out = self.pipeline.run_device(
                     self.pipeline.place_input(frames))
@@ -222,9 +242,13 @@ class MaskServer:
         # pipeline pads the batch to a multiple of the mesh width
         from cgs_tpu.parallel.mesh import local_mesh_or_none
         mesh = local_mesh_or_none(cfg)
+        # separate=cfg.separate: a `-separate` run's masker was
+        # trained on the sepcrit's embeds (main.py:946-947) — serving
+        # must feed it the same features or /segment silently returns
+        # different masks than the offline -process path
         pipe = MaskPipeline(critic, masker, params, batch_size=batch,
                             eval_mode=not cfg.noevalmode, seed=cfg.seed,
-                            mesh=mesh)
+                            separate=cfg.separate, mesh=mesh)
         batch = pipe.batch      # mesh-rounded
         # warm the (single, batch-shaped) compiled program before
         # accepting traffic — the batcher always dispatches full pads
@@ -238,27 +262,30 @@ class MaskServer:
 
     @staticmethod
     def _load_params(cfg, critic, masker, load_model_pt):
-        """Fingerprinted .pt checkpoints from the run dir (same layout
-        Handler saves, handler.py:87-94); random init where missing
-        (useful for smoke tests, loudly reported). Init runs on the
-        host CPU backend like Handler.reset_models — remote-compiling
+        """Fingerprinted .pt checkpoints from the run dir (the shared
+        checkpoint_paths scheme Handler saves under); random init where
+        missing (useful for smoke tests, loudly reported). Init runs on
+        the host CPU backend like Handler.reset_models — remote-compiling
         the tiny init programs through a TPU tunnel costs ~45 s for
         nothing."""
         import jax
 
+        from cgs_tpu.train.checkpoints import checkpoint_paths
+
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             x0 = np.zeros((1, 64, 64, 3), np.float32)
-            k1, k2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
+            k1, k2, k3 = jax.random.split(
+                jax.random.PRNGKey(cfg.seed), 3)
             cp = critic.init({"params": k1}, x0, collect=True)["params"]
             _, em = critic.apply({"params": cp}, x0, collect=True)
             mp = masker.init({"params": k2}, x0, em)["params"]
-        params = {"critic": cp, "masker": mp}
-        paths = {
-            "critic": f"{cfg.name}/saves/critic-"
-                      f"{cfg.critic_fingerprint()}.pt",
-            "masker": f"{cfg.name}/saves/masker-"
-                      f"{cfg.masker_fingerprint()}.pt",
-        }
+            params = {"critic": cp, "masker": mp}
+            if cfg.separate:
+                params["sepcrit"] = critic.init(
+                    {"params": k3}, x0, collect=True)["params"]
+        paths = {name: path
+                 for name, path in checkpoint_paths(cfg).items()
+                 if name in params}
         for name, path in paths.items():
             loaded = load_model_pt(name, path)
             if loaded is None:
@@ -326,9 +353,11 @@ class MaskServer:
             def do_GET(self):
                 path = urlparse(self.path).path
                 if path in ("/healthz", "/stats"):
-                    self._json(200, {"status": "ok",
-                                     **server.batcher.stats,
-                                     "batch": server.batcher.batch})
+                    dead = server.batcher._dispatch_dead.is_set()
+                    self._json(503 if dead else 200,
+                               {"status": "dead" if dead else "ok",
+                                **server.batcher.stats,
+                                "batch": server.batcher.batch})
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -374,8 +403,7 @@ class MaskServer:
         return Handler
 
     def start(self, host: str = "127.0.0.1", port: int = 8700):
-        self.httpd = _Server((host, port),
-                                         self.make_handler())
+        self.httpd = _Server((host, port), self.make_handler())
         return self.httpd
 
     def serve_forever(self, host: str = "127.0.0.1", port: int = 8700):

@@ -30,6 +30,20 @@ KEYMAPS = {"critic": CRITIC_KEYMAP, "masker": DECODER_KEYMAP,
            "sepcrit": CRITIC_KEYMAP}
 
 
+def checkpoint_paths(cfg) -> Dict[str, str]:
+    """Fingerprinted .pt paths in the run's saves/ dir (the reference
+    layout, main.py:93-102). THE single source for the path scheme —
+    Handler and the serving front must agree or serving silently
+    falls back to random weights (the fingerprint falsy-drop quirk
+    makes these strings easy to get subtly wrong twice)."""
+    base = f"{cfg.name}/saves/"
+    return {
+        "critic": f"{base}critic-{cfg.critic_fingerprint()}.pt",
+        "masker": f"{base}masker-{cfg.masker_fingerprint()}.pt",
+        "sepcrit": f"{base}sepcrit-{cfg.critic_fingerprint()}.pt",
+    }
+
+
 def save_model_pt(params: Dict, kind: str, path: str) -> None:
     """Write a reference-layout .pt state_dict (main.py:149-156)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -42,8 +42,12 @@ class MetricsWriter:
         self._fp.write(json.dumps(rec) + "\n")
 
     def close(self):
+        """Idempotent; writes after close become no-ops rather than
+        ValueError-on-closed-file."""
         if self._fp is not None:
             self._fp.close()
+            self._fp = None
+        self.enabled = False
 
 
 def write_log_header(run_dir: str, cfg) -> None:

@@ -271,6 +271,10 @@ def test_multirun_aggregates_last_ious(tmp_path, monkeypatch):
         def __init__(self, seed):
             self.ious = (0.0, 0.0)          # reference tracker: stuck
             self.last_ious = [0.5 + seed / 10.0]
+            self.closed = False
+
+        def close(self):                    # part of the Handler API
+            self.closed = True
 
     def fake_main(argv):
         seed = int(argv[argv.index("--seed") + 1])

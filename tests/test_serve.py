@@ -183,6 +183,78 @@ def test_batch_failure_fails_requests_but_not_the_server(server, rng):
     assert req.mask.shape == (64, 64)
 
 
+def test_bad_shape_frame_rejected_thread_survives(server, rng):
+    """A (64, 64) or (3, 64, 64) frame via the public submit() API
+    must raise per-request, not kill the dispatch thread (which would
+    zombie the server: every later request times out while /healthz
+    still said ok)."""
+    with pytest.raises(ValueError, match="expected frame shape"):
+        server.batcher.submit(rng.integers(0, 256, (64, 64),
+                                           dtype=np.uint8))
+    with pytest.raises(ValueError, match="expected frame shape"):
+        server.batcher.submit(rng.integers(0, 256, (3, 64, 64),
+                                           dtype=np.uint8))
+    assert not server.batcher._dispatch_dead.is_set()
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    assert server.batcher.submit(frame).mask.shape == (64, 64)
+
+
+def test_abandoned_requests_skip_dispatch(server, rng):
+    """A request whose submit() already timed out (client got 503)
+    must not spend a device dispatch when it finally drains."""
+    from cgs_tpu.serve import _Request
+
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    ghost = _Request(frame=frame)
+    ghost.abandoned = True
+    d0 = server.batcher.stats["dispatches"]
+    server.batcher.q.put(ghost)
+    # a live probe behind it proves the loop consumed & skipped ghost
+    req = server.batcher.submit(frame, timeout=30)
+    assert req.mask.shape == (64, 64)
+    assert server.batcher.stats["dispatches"] - d0 >= 1
+    assert not ghost.done.is_set()   # never dispatched, never completed
+
+
+def test_separate_run_serves_sepcrit_features(tmp_path, rng):
+    """-separate serving parity: the served mask must equal the
+    offline MaskPipeline(separate=True) mask, i.e. the masker reads
+    the sepcrit's embeds (main.py:946-947) — not the live critic's."""
+    from cgs_tpu.serve import MaskServer as MS
+
+    args = ["--infer-batch", "16", "--serve-wait-ms", "5", "-separate",
+            "--model", str(tmp_path / "norun")]
+    cfg = parse_args(args)
+    assert cfg.separate
+    srv = MS(cfg)
+    try:
+        assert srv.batcher.pipeline.separate
+        assert "sepcrit" in srv.batcher.pipeline.params
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        served = srv.batcher.submit(frame).mask
+        pipe = srv.batcher.pipeline
+        out = pipe.run(np.tile(frame[None], (16, 1, 1, 1)))
+        np.testing.assert_allclose(served, out.masks[0, :, :, 0],
+                                   atol=1e-6)
+    finally:
+        srv.batcher.close()
+
+
+def test_serve_uses_handler_checkpoint_paths(tmp_path, capsys):
+    """serve._load_params must look for checkpoints exactly where
+    Handler saves them (shared train.checkpoints.checkpoint_paths) —
+    a drifted path means silently serving RANDOM weights."""
+    from cgs_tpu.train.checkpoints import checkpoint_paths
+
+    cfg = parse_args(["--infer-batch", "16",
+                      "--model", str(tmp_path / "norun")])
+    srv = MaskServer(cfg)
+    srv.batcher.close()
+    out = capsys.readouterr().out
+    for name in ("critic", "masker"):
+        assert checkpoint_paths(cfg)[name] in out
+
+
 def test_meshed_serving_matches_single_device(tmp_path, rng):
     """--data-parallel N: micro-batch dispatches shard over the DP
     mesh; masks must match the unmeshed server exactly."""
