@@ -29,20 +29,29 @@ DEFAULT_PARAMS = dict(w1=22.0, alpha=12.0, beta=3.1, w2=8.0,
 
 
 def _build() -> None:
-    subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                   check=True, capture_output=True)
+    proc = subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                          capture_output=True, text=True)
+    if proc.returncode != 0:
+        # surface the compiler diagnostic — a bare CalledProcessError
+        # hides it in a never-read .stderr attribute
+        raise RuntimeError(
+            f"native densecrf build failed (rc={proc.returncode}):\n"
+            f"{proc.stderr[-2000:]}")
 
 
 def _ensure_built(timeout_s: float = 300.0) -> None:
     """Build the native library exactly once across a multi-host run
     on a shared filesystem: host 0 runs make, others poll for the .so
     (concurrent make invocations clobber each other's objects
-    mid-link)."""
-    if os.path.exists(_LIB_PATH):
-        return
+    mid-link). Host 0 invokes make even when the .so exists — make's
+    mtime tracking makes a fresh build a no-op, while an
+    existence-only check would silently keep dlopening a stale .so
+    after a source edit."""
     from cgs_tpu.parallel.multihost import is_primary
     if is_primary():
         _build()
+        return
+    if os.path.exists(_LIB_PATH):
         return
     import time as _time
     deadline = _time.time() + timeout_s
@@ -56,16 +65,6 @@ def _ensure_built(timeout_s: float = 300.0) -> None:
 def _load_lib() -> ctypes.CDLL:
     _ensure_built()
     lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
-    lib.cgs_densecrf.restype = ctypes.c_int
-    lib.cgs_densecrf.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8),   # img
-        ctypes.POINTER(ctypes.c_float),   # prob
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # H, W, C
-        ctypes.c_float, ctypes.c_float, ctypes.c_float,  # w1 a b
-        ctypes.c_float, ctypes.c_float,   # w2 gamma
-        ctypes.c_int,                     # iters
-        ctypes.POINTER(ctypes.c_uint8),   # out
-    ]
     lib.cgs_densecrf_batch.restype = ctypes.c_int
     lib.cgs_densecrf_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),   # imgs
@@ -99,28 +98,6 @@ class DenseCRF:
         self.n_threads = n_threads  # 0 = hardware concurrency
         self.rescale = rescale
 
-    def refine_frame(self, img_u8: np.ndarray,
-                     mask: np.ndarray) -> np.ndarray:
-        """One frame: (H,W,3) uint8 + (H,W) float mask -> (H,W) uint8
-        labels. Builds the 2-class prob [1-m, m] (main.py:1243)."""
-        h, w = mask.shape
-        prob = np.stack([1.0 - mask, mask], axis=-1)
-        prob = np.ascontiguousarray(prob, np.float32)
-        img = np.ascontiguousarray(img_u8, np.uint8)
-        out = np.empty((h, w), np.uint8)
-        p = self.params
-        rc = self.lib.cgs_densecrf(
-            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            h, w, 2,
-            ctypes.c_float(p["w1"]), ctypes.c_float(p["alpha"]),
-            ctypes.c_float(p["beta"]), ctypes.c_float(p["w2"]),
-            ctypes.c_float(p["gamma"]), int(p["iters"]),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        if rc != 0:
-            raise RuntimeError(f"cgs_densecrf failed rc={rc}")
-        return out
-
     def __call__(self, imgs: np.ndarray,
                  masks: np.ndarray) -> np.ndarray:
         masks = np.asarray(masks, np.float32)
@@ -138,6 +115,11 @@ class DenseCRF:
                               np.maximum(0.9 / np.maximum(peak, 1e-6),
                                          1.0), 1.0)
             masks = np.clip(masks * factor, 0.0, 1.0)
+        if len(masks) == 0:
+            # empty batch (e.g. the [100:5000:2] eval slice of a short
+            # folder): mirror MaskPipeline.run's n==0 support instead
+            # of tripping the native n_frames<=0 guard
+            return np.zeros(masks.shape, bool)
         refined = masks.copy()
         sel = np.arange(0, len(masks), self.skip)
         sub = masks[sel]

@@ -67,6 +67,15 @@ def test_crf_all_background(rng):
     assert out.sum() == 0
 
 
+def test_crf_empty_batch():
+    """A short eval folder can slice [100:5000:2] down to zero frames;
+    MaskPipeline.run supports n==0, so the CRF must too instead of
+    tripping the native n_frames<=0 guard (rc=1)."""
+    out = _crf(np.zeros((0, 64, 64, 3), np.uint8),
+               np.zeros((0, 64, 64), np.float32))
+    assert out.shape == (0, 64, 64) and out.dtype == bool
+
+
 def test_crf_grid_search(rng):
     from cgs_tpu.eval.crf import grid_search
     img, gt = _scene(rng)
