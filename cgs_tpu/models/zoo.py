@@ -149,7 +149,7 @@ class VAE(nn.Module):
     colorchs: int = 3
 
     @nn.compact
-    def __call__(self, x: Array, key=None):
+    def __call__(self, x: Array, key=None, deterministic: bool = False):
         shape = x.shape
         flat = self.width * self.width * self.colorchs
         h = x.reshape((x.shape[0], -1))
@@ -158,8 +158,16 @@ class VAE(nn.Module):
         stats = _dense(self.enc_dim * 2, 16, "enc2")(h)
         mean = stats[:, : self.enc_dim]
         log_std = stats[:, self.enc_dim:]
-        if key is None:
+        if deterministic:
             sample = mean
+        elif key is None:
+            # the reference ALWAYS rsamples (nets.py:98-99) — a silent
+            # sample=mean fallback would train a plain autoencoder
+            # with an inert KL term; the mean path is eval-only and
+            # must be asked for by name
+            raise ValueError(
+                "VAE needs a PRNG key for the reparameterized sample "
+                "(pass deterministic=True for the eval-time mean path)")
         else:  # reparameterized sample (nets.py:98-99)
             sample = mean + jnp.exp(log_std) * jax.random.normal(
                 key, mean.shape)
@@ -462,9 +470,14 @@ class VGG11Features(nn.Module):
                 x = _conv(v, 3, 1, "SAME", in_ch, f"conv{li}")(x)
                 x = nn.relu(x)
                 if self.collect_embeds:  # VGGEmbedder (nets.py:744-748)
+                    # antialias=False: torch F.interpolate(bilinear)
+                    # never prefilters — with the default True, any
+                    # DOWNsample (inputs > 64x64) diverges from the
+                    # reference (latent at 64x64 where all resizes
+                    # are upsamples)
                     embeds.append(jax.image.resize(
                         x, (x.shape[0], 64, 64, x.shape[-1]),
-                        "bilinear"))
+                        "bilinear", antialias=False))
                 in_ch = v
                 li += 1
         if self.collect_embeds:
@@ -496,6 +509,14 @@ class VGGCritic(nn.Module):
         return _dense(1, 128, "fc2")(h)
 
 
+def _bn(train: bool) -> nn.BatchNorm:
+    """torch BatchNorm2d semantics: momentum=0.1 in torch is an EMA
+    keep-rate of 0.9, which is flax's `momentum` — the flax default
+    0.99 would absorb batch statistics ~10x slower than the
+    reference during training."""
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9)
+
+
 class ResNetBlock(nn.Module):
     filters: int
     strides: int = 1
@@ -507,17 +528,19 @@ class ResNetBlock(nn.Module):
         # XLA "SAME" at stride 2 pads (0,1) — outputs differ (caught by
         # the round-3 torch golden test, tests/test_zoo_interop.py)
         y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
-                    padding=((1, 1), (1, 1)), use_bias=False)(x)
-        y = nn.BatchNorm(use_running_average=not train)(y)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    kernel_init=torch_kernel_init)(x)
+        y = _bn(train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=not train)(y)
+                    use_bias=False, kernel_init=torch_kernel_init)(y)
+        y = _bn(train)(y)
         if res.shape != y.shape:
             res = nn.Conv(self.filters, (1, 1),
                           (self.strides, self.strides),
-                          use_bias=False)(x)
-            res = nn.BatchNorm(use_running_average=not train)(res)
+                          use_bias=False,
+                          kernel_init=torch_kernel_init)(x)
+            res = _bn(train)(res)
         return nn.relu(res + y)
 
 
@@ -528,8 +551,8 @@ class ResNet18Features(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+                    use_bias=False, kernel_init=torch_kernel_init)(x)
+        x = _bn(train)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))

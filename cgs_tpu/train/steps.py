@@ -146,21 +146,32 @@ def make_masker_step(cfg, critic, masker,
 def _jit_step(step: Callable, mesh, n_batch_args: int,
               batch: int = None) -> Callable:
     """jit a step function; with a mesh, shard batch args over 'data'
-    and replicate state + rng. `batch` is the expected leading dim of
-    the batch args: when it does not divide over the 'data' extent,
-    fall back to replicated placement (correct math on every chip)
-    instead of a sharding error at dispatch — the same degradation
-    rule as parallel/mesh.py:index_sharding."""
+    and replicate state + rng. The sharded/replicated choice is made
+    per CALL on the runtime leading dim (`batch` is only the expected
+    size, and e.g. a tail batch of an externally-driven loop can be
+    smaller): a non-divisible batch falls back to replicated placement
+    (correct math on every chip) instead of jit's cryptic
+    divisibility ValueError at dispatch — the same degradation rule
+    as parallel/mesh.py:index_sharding. Both variants share one traced
+    step; each compiles at most once per shape."""
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
-    if batch is not None and batch % mesh.shape["data"]:
-        data = repl
-    else:
-        data = NamedSharding(mesh, P("data"))
-    in_shardings = (repl,) + (data,) * n_batch_args + (repl,)
-    return jax.jit(step, in_shardings=in_shardings,
-                   donate_argnums=(0,))
+    data = NamedSharding(mesh, P("data"))
+    jitted = {
+        sh: jax.jit(step,
+                    in_shardings=(repl,) + (sh,) * n_batch_args + (repl,),
+                    donate_argnums=(0,))
+        for sh in (data, repl)
+    }
+    n_data = mesh.shape["data"]
+
+    def dispatch(state, *args):
+        batch_args = args[:n_batch_args]
+        ok = all(a.shape[0] % n_data == 0 for a in batch_args)
+        return jitted[data if ok else repl](state, *args)
+
+    return dispatch
 
 
 def init_train_state(params: Dict[str, Any],

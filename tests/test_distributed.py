@@ -111,6 +111,32 @@ def test_masker_dp_step_matches_single(setup):
         ref_state.params, dp_state.params)
 
 
+def test_dp_step_nondivisible_batch_falls_back(setup):
+    """A runtime batch not divisible by the 'data' extent (e.g. the
+    tail batch of an externally-driven loop) must execute with
+    replicated placement and match the single-device step — not die
+    in jit's divisibility ValueError, which the old static-batch
+    guard could not prevent."""
+    critic, _, params = setup
+    cfg = Config(shift=0, dropout=0.0)
+    tx = make_optimizer()
+    a, y, _ = _batch(12)   # 12 % 8 != 0
+
+    ref_state = init_train_state(_host({"critic": params["critic"]}),
+                                 tx)
+    ref_step = make_critic_step(cfg, critic, tx)
+    ref_state, ref_loss = ref_step(ref_state, a, y, KEY)
+
+    mesh = make_mesh(n_data=8)
+    dp_state = init_train_state(
+        jax.device_put(_host({"critic": params["critic"]}),
+                       replicated_sharding(mesh)), tx)
+    dp_step = make_critic_step(cfg, critic, tx, mesh=mesh)
+    dp_state, dp_loss = dp_step(dp_state, a, y, KEY)
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss),
+                               rtol=1e-5)
+
+
 def test_iou_psum_reduction_matches_host():
     """Multi-chip eval IoU = psum of per-shard (inter, union) counts
     (SURVEY.md §5 'Distributed communication backend')."""

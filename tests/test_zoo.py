@@ -44,6 +44,48 @@ def test_vae():
     assert jnp.isfinite(loss)
 
 
+def test_vae_requires_key_unless_deterministic():
+    """The reference VAE ALWAYS rsamples (nets.py:98-99) — a silent
+    sample=mean fallback would train a plain autoencoder; the mean
+    path must be requested by name."""
+    model = zoo.VAE(enc_dim=4)
+    variables = model.init({"params": KEY}, X,
+                           key=jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="PRNG key"):
+        model.apply(variables, X)
+    recon, mean, _ = model.apply(variables, X, deterministic=True)
+    assert recon.shape == X.shape and mean.shape == (2, 4)
+
+
+def test_resnet_bn_momentum_matches_torch():
+    """torch BatchNorm2d(momentum=0.1) is an EMA keep-rate of 0.9 =
+    flax's momentum; after one train-mode step from zero-init stats,
+    running_mean must be 0.1 * batch_mean (the flax default 0.99
+    would give 0.01x — stats absorbing 10x slower than torch)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(5.0, 2.0, (16, 8, 8, 4)), jnp.float32)
+    bn = zoo._bn(train=True)
+    variables = bn.init(KEY, x)
+    _, mutated = bn.apply(variables, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]),
+        0.1 * np.asarray(x.mean(axis=(0, 1, 2))), rtol=1e-5)
+
+
+def test_resnet_conv_init_is_torch_default():
+    """Fresh ResNet convs must draw from torch's kaiming_uniform
+    (U(-1/sqrt(fan_in), +1/sqrt(fan_in))), like every other zoo
+    module — not flax's truncated-normal lecun_normal."""
+    variables = zoo.ResNet18Features().init(
+        {"params": KEY}, X, train=False)
+    stem = np.asarray(variables["params"]["Conv_0"]["kernel"])
+    bound = 1.0 / np.sqrt(7 * 7 * 3)
+    assert np.abs(stem).max() <= bound * (1 + 1e-6)
+    # a uniform draw over 9408 samples lands near the bound; a
+    # truncated normal at the same scale almost never does
+    assert np.abs(stem).max() > 0.95 * bound
+
+
 def test_conv_encoder_decoder():
     model = zoo.ConvEncoder64x64(enc_dim=4)
     variables = model.init({"params": KEY}, X)
