@@ -64,8 +64,14 @@ def kmeans(points: Array, k: int, iters: int = 25,
     init = points[init_idx]
 
     def assign(centroids):
-        d2 = jnp.sum((points[:, None, :] - centroids[None]) ** 2,
-                     axis=-1)
+        # quadratic form ||x||^2 - 2xC^T + ||c||^2 (the same MXU
+        # expansion patch_embed._assign_patches uses): (P, K) memory
+        # instead of materializing the (P, K, D) broadcast difference
+        # — at per-pixel scale (16M pixels, K=20) that tensor is
+        # ~2.7 GB per scan iteration
+        d2 = (jnp.sum(points * points, axis=1, keepdims=True)
+              - 2.0 * points @ centroids.T
+              + jnp.sum(centroids * centroids, axis=1)[None])
         return jnp.argmin(d2, axis=1)
 
     def body(centroids, _):

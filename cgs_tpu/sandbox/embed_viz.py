@@ -87,10 +87,13 @@ def vis_white_tree(embedder: PatchEmbedder, frames_hsv: np.ndarray,
     probs, labels = embedder.predict_batch(x)
 
     y1, y2, x1, x2 = crop
-    _, wtlabels = embedder.predict_batch(x[ref_index:ref_index + 1])
-    ph, pw = wtlabels.shape[1:3]
-    wtcrop = wtlabels[0, int(ph * y1):int(ph * y2),
-                      int(pw * x1):int(pw * x2)].reshape(-1)
+    # the reference frame's label map is row ref_index of the
+    # full-batch result — re-running predict_batch on the single
+    # frame would retrace the jitted embed fn at a batch-1 shape
+    # (2-480 s per remote compile through this harness's tunnel)
+    ph, pw = labels.shape[1:3]
+    wtcrop = labels[ref_index, int(ph * y1):int(ph * y2),
+                    int(pw * x1):int(pw * x2)].reshape(-1)
     n_bins = (embedder.embed_dim
               if embedder.embed_dim == embedder.n_cluster
               else embedder.n_cluster)
@@ -166,7 +169,12 @@ def vis_pixels(frames_u8: np.ndarray, out_png: str,
                                         figsize=(12, 4))
     for ax in (ax1, ax2, ax3):
         ax.set_aspect(1)
-    ax2.imshow(hs_pic.astype(np.uint8))
+    # float array stays float: v=1 pre-/255 makes hsv value 1/255, so
+    # 255*hsv_to_rgb lands back in [0,1] — imshow renders float RGB on
+    # the 0-1 scale (a full-bright wheel, TrainHandler.py:2826-2833);
+    # casting to uint8 would floor everything to 0/1 on the 0-255
+    # scale and draw the panel black
+    ax2.imshow(hs_pic)
     ax2.invert_yaxis()
     ax1.hist2d(pixels[:, 0], pixels[:, 1], bins=100,
                norm=colors.LogNorm(), cmap=my_cmap)

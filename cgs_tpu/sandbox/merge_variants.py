@@ -26,10 +26,12 @@ modern loop does not subsume:
     binary_cross_entropy_with_logits, TrainHandler.py:1742-1743) —
     reproduced exactly.
 
-TPU design: each step is ONE jitted function (negatives are sampled
-in-graph with `jax.random.categorical` over the negative mask instead
-of the reference's host-side np.random.choice — fixed shapes, no
-host sync), built for `lax.scan` chunking like train/loops.py.
+TPU design: each step is ONE jitted function built for `lax.scan`
+chunking like train/loops.py. The single-net step samples its
+within-batch negatives in-graph with `jax.random.categorical` over
+the negative mask instead of the reference's host-side
+np.random.choice (fixed shapes, no host sync); the pair step consumes
+a pre-sampled (a, b) contrast pair like the reference's loop.
 """
 
 from __future__ import annotations
@@ -234,7 +236,7 @@ def make_pair_merge_step(
         return unet.apply({"params": params}, frames,
                           critic=True).squeeze(-1)
 
-    def loss_fn(params, a, y, b, negy, key, frozen_params):
+    def loss_fn(params, a, y, b, frozen_params):
         fparams = (jax.lax.stop_gradient(params)
                    if frozen_params is None else frozen_params)
         # non-live: ALL scoring uses the frozen critic (:1112-1113)
@@ -279,11 +281,13 @@ def make_pair_merge_step(
                       "critic": critic_loss}
 
     @jax.jit
-    def step(params, opt_state, a, y, b, negy, key,
-             frozen_params=None):
+    def step(params, opt_state, a, y, b, frozen_params=None):
+        # no key/negy args: the pair variant consumes a PRE-SAMPLED
+        # contrast pair (a, b) like the reference's loop
+        # (TrainHandler.py:1163-1175) — in-graph negative sampling is
+        # the single-net variant's mechanism (make_single_net_merge_step)
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, a, y, b, negy, key,
-                                   frozen_params)
+            loss_fn, has_aux=True)(params, a, y, b, frozen_params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, metrics
 

@@ -45,9 +45,16 @@ def run_seeds(argv: List[str], runs: int,
 
 
 def _seeded_name(argv: List[str], seed: int) -> str:
+    """Run-name for one seed; handles both '--model X' and
+    '--model=X' argparse forms (missing either, argparse's own error
+    fires later — we must not mask it by appending a default that
+    silently wins)."""
     name = "default-model"
-    if "--model" in argv:
-        name = argv[argv.index("--model") + 1]
+    for i, tok in enumerate(argv):
+        if tok == "--model" and i + 1 < len(argv):
+            name = argv[i + 1]
+        elif tok.startswith("--model="):
+            name = tok.split("=", 1)[1]
     return f"{name}-seed{seed}"
 
 

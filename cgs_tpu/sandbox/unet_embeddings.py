@@ -74,8 +74,16 @@ def load_tree_crops(tree_dir: str) -> Tuple[np.ndarray, np.ndarray]:
              if "w" in n or "b" in n]
     xs, ys = [], []
     for idx, name in enumerate(names):
-        img = cv2.imread(os.path.join(tree_dir, name),
-                         cv2.IMREAD_UNCHANGED)
+        path = os.path.join(tree_dir, name)
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise ValueError(f"unreadable crop image: {path}")
+        if img.ndim != 3 or img.shape[2] != 4:
+            # without an alpha plane img[:, :, -1] would silently use
+            # the red channel as the object-label mask
+            raise ValueError(
+                f"{path}: expected RGBA (alpha marks the object), got "
+                f"shape {img.shape}")
         y = img[:, :, -1].astype(np.int64)
         y[y == 255] = idx + 1
         x = cv2.cvtColor(img[:, :, :3],

@@ -51,6 +51,7 @@ def save_loss_plot(path: str, series, labels=None, window: int = 30,
     if ymin_zero:
         plt.ylim(0, plt.ylim()[1])
     plt.legend()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     plt.savefig(path)
     plt.close()
 
@@ -63,6 +64,7 @@ def save_histogram(path: str, values) -> None:
 
     plt.clf()
     plt.hist(np.asarray(values).ravel())
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     plt.savefig(path)
     plt.close()
 

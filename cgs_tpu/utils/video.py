@@ -32,14 +32,24 @@ class VideoSink:
                    str(self.framerate), "-i", "pipe:", "-pix_fmt",
                    "yuv420p", "-vcodec", "libx264", "-r",
                    str(self.framerate), self.fn]
+            # keep stderr: a failed encode (missing dir, full disk, no
+            # libx264) must be diagnosable, not a silent absent file
             self._proc = subprocess.Popen(
                 cmd, stdin=subprocess.PIPE,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
         else:
             import cv2
             self._cv2 = cv2.VideoWriter(
                 self.fn, cv2.VideoWriter_fourcc(*"mp4v"),
                 self.framerate, (self._hw[1], self._hw[0]))
+            if not self._cv2.isOpened():
+                # cv2.VideoWriter does not raise on a bad path — its
+                # write() just no-ops and the video silently never
+                # lands on disk
+                self._cv2 = None
+                raise RuntimeError(
+                    f"cv2.VideoWriter could not open {self.fn} "
+                    "(missing directory or unsupported codec?)")
 
     def append(self, frame: np.ndarray) -> None:
         frame = np.asarray(frame)
@@ -47,18 +57,47 @@ class VideoSink:
             frame = np.clip(frame, 0, 255).astype(np.uint8)
         if self._hw is None:
             self._open(*frame.shape[:2])
+        if frame.shape[0] < self._hw[0] or frame.shape[1] < self._hw[1]:
+            # a smaller frame would under-fill the rawvideo pipe and
+            # silently desync every subsequent ffmpeg frame
+            raise ValueError(
+                f"frame {frame.shape[:2]} smaller than the sink's "
+                f"{self._hw} (fixed by the first appended frame)")
         frame = frame[: self._hw[0], : self._hw[1]]
         if self._proc is not None:
-            self._proc.stdin.write(frame.tobytes())
+            try:
+                self._proc.stdin.write(frame.tobytes())
+            except BrokenPipeError:
+                raise RuntimeError(
+                    "ffmpeg died mid-stream: "
+                    + self._drain_stderr()) from None
         else:
             import cv2
             self._cv2.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
 
+    def _drain_stderr(self) -> str:
+        err = b""
+        if self._proc is not None and self._proc.stderr is not None:
+            try:
+                err = self._proc.stderr.read() or b""
+            except Exception:
+                pass
+        return err.decode(errors="replace")[-2000:]
+
     def close(self) -> None:
         if self._proc is not None:
-            self._proc.stdin.close()
-            self._proc.wait()
+            proc = self._proc
             self._proc = None
+            proc.stdin.close()
+            rc = proc.wait()
+            err = b""
+            if proc.stderr is not None:
+                err = proc.stderr.read() or b""
+                proc.stderr.close()
+            if rc != 0:
+                raise RuntimeError(
+                    f"ffmpeg exited {rc} writing {self.fn}: "
+                    f"{err.decode(errors='replace')[-2000:]}")
         if self._cv2 is not None:
             self._cv2.release()
             self._cv2 = None

@@ -130,16 +130,13 @@ def test_pair_merge_step_trains_and_copy_freezes(unet_state):
     unet, params, tx = unet_state
     a, b = _frames(7), _frames(8)
     y = jnp.asarray(np.linspace(0, 1, 8), jnp.float32)
-    negy = jnp.zeros(8)
-    key = jax.random.PRNGKey(3)
 
     step = make_pair_merge_step(unet, tx, l1=0.1, live=True)
     opt_state = tx.init(params)
     p = params
     losses = []
     for i in range(4):
-        p, opt_state, m = step(p, opt_state, a, y, b, negy,
-                               jax.random.fold_in(key, i))
+        p, opt_state, m = step(p, opt_state, a, y, b)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
 
@@ -147,7 +144,7 @@ def test_pair_merge_step_trains_and_copy_freezes(unet_state):
     # so the encoder still learns only through Z / live loss — the
     # step must run and stay finite
     step_c = make_pair_merge_step(unet, tx, l1=0.1, use_copy=True)
-    _, _, mc = step_c(params, tx.init(params), a, y, b, negy, key)
+    _, _, mc = step_c(params, tx.init(params), a, y, b)
     assert np.isfinite(float(mc["loss"]))
 
 
@@ -156,8 +153,7 @@ def test_pair_merge_noinject_drops_term(unet_state):
     a, b = _frames(9), _frames(10)
     y = jnp.zeros(8)
     step = make_pair_merge_step(unet, tx, inject=False, l1=0.1)
-    _, _, m = step(params, tx.init(params), a, y, b, y,
-                   jax.random.PRNGKey(0))
+    _, _, m = step(params, tx.init(params), a, y, b)
     assert float(m["inject"]) == 0.0
 
 
@@ -218,7 +214,6 @@ def test_pair_merge_nonlive_critic_frozen(unet_state):
     step = make_pair_merge_step(unet, tx, l1=0.1)  # live=False
     frozen = jax.tree.map(lambda v: v, params)  # setup-time snapshot
     p, _, m = step(params, tx.init(params), a, jnp.zeros(8), b,
-                   jnp.zeros(8), jax.random.PRNGKey(0),
                    frozen_params=frozen)
     for name in ("crit0", "crit1"):
         for la, lb in zip(jax.tree.leaves(params[name]),

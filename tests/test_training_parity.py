@@ -71,7 +71,12 @@ def test_critic_gradients_match_torch(batches, torch_critic):
     jloss, jgrads = jax.value_and_grad(loss_fn)(
         fparams, x, jnp.asarray(ys[0]), jax.random.PRNGKey(0))
 
-    np.testing.assert_allclose(float(jloss), float(loss), rtol=1e-5)
+    # rtol 3e-5, not 1e-5: XLA:CPU splits reductions across however
+    # many worker threads are free, so under load the f32 summation
+    # order (and the last ~1e-5 of the loss) can shift run to run —
+    # observed as a flake when the suite shares the box with another
+    # run; the per-leaf grad checks stay at atol 2e-6
+    np.testing.assert_allclose(float(jloss), float(loss), rtol=3e-5)
     jgrads_t = flax_to_torch_state(
         jax.tree.map(np.asarray, jgrads), CRITIC_KEYMAP)
     for k, tg in tgrads.items():
@@ -190,7 +195,12 @@ def test_masker_loss_and_grads_match_torch(rng, variant):
         trainable, {}, jnp.asarray(a_np), jnp.asarray(y_np),
         jnp.asarray(b_np), jax.random.PRNGKey(0))
 
-    np.testing.assert_allclose(float(jloss), float(loss), rtol=1e-5)
+    # rtol 3e-5, not 1e-5: XLA:CPU splits reductions across however
+    # many worker threads are free, so under load the f32 summation
+    # order (and the last ~1e-5 of the loss) can shift run to run —
+    # observed as a flake when the suite shares the box with another
+    # run; the per-leaf grad checks stay at atol 2e-6
+    np.testing.assert_allclose(float(jloss), float(loss), rtol=3e-5)
     jc = flax_to_torch_state(
         jax.tree.map(np.asarray, jgrads["critic"]), CRITIC_KEYMAP)
     jm = flax_to_torch_state(
