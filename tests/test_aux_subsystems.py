@@ -106,6 +106,37 @@ def test_metrics_writer(tmp_path):
     assert lines[1]["iou"] == 0.4
 
 
+def test_tb_export_round_trip(tmp_path):
+    """metrics.jsonl -> TensorBoard event files (the 'optional
+    TensorBoard' half of SURVEY §5's metrics row): scalars land under
+    kind/field tags at the logged steps and read back via the event
+    accumulator."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from cgs_tpu.utils.tb_export import export_run
+
+    m = MetricsWriter(str(tmp_path))
+    for s in range(3):
+        m.write("critic_loss", step=s * 100, loss=0.5 - 0.1 * s)
+    m.write("eval", iou=0.42, note="text-skipped")
+    m.close()
+    out = export_run(str(tmp_path))
+    files = os.listdir(out)
+    assert any("tfevents" in f for f in files), files
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+    acc = EventAccumulator(out)
+    acc.Reload()
+    tags = acc.Tags()["scalars"]
+    assert "critic_loss/loss" in tags and "eval/iou" in tags
+    events = acc.Scalars("critic_loss/loss")
+    assert [e.step for e in events] == [0, 100, 200]
+    np.testing.assert_allclose([e.value for e in events],
+                               [0.5, 0.4, 0.3], rtol=1e-6)
+    assert "eval/note" not in tags  # non-numeric fields skipped
+
+
 def test_multihost_pod_autodetect(monkeypatch):
     """TPU_WORKER_HOSTNAMES with multiple workers (standard Cloud-TPU
     pod launch, no JAX_* vars) must trigger the no-arg
