@@ -222,3 +222,41 @@ def test_norm_logging_matches_reference_overwrite(rng):
     l1_term = 0.5 * np.mean(np.abs(z))
     np.testing.assert_allclose(float(aux["norm"]), l2_term, rtol=1e-5)
     assert abs(float(aux["norm"]) - (l1_term + l2_term)) > 1e-6
+
+
+def test_bf16_training_steps(rng):
+    """--bf16 training (handler.py:79-86): bfloat16 conv compute with
+    float32 params, grads, and optimizer state. The critic step must
+    still learn, the masker step's metrics must be finite, and no
+    param or opt-state leaf may silently downcast to bf16."""
+    cfg = Config(shift=0, dropout=0.0).derive()
+    critic = Critic(dropout=cfg.dropout, compute_dtype=jnp.bfloat16)
+    masker = UnetDecoder(compute_dtype=jnp.bfloat16)
+    x0 = jnp.zeros((2, 64, 64, 3))
+    cparams = critic.init({"params": KEY}, x0, collect=True)["params"]
+    _, embeds = critic.apply({"params": cparams}, x0, collect=True)
+    mparams = masker.init({"params": KEY}, x0, embeds)["params"]
+
+    tx = make_optimizer()
+    state = init_train_state({"critic": cparams}, tx)
+    step = make_critic_step(cfg, critic, tx)
+    a, _, b = batch(rng, 16)
+    y = jnp.mean(a.astype(jnp.float32) / 255.0, axis=(1, 2, 3))
+    losses = []
+    for i in range(80):
+        state, loss = step(state, a, y, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7
+    for leaf in jax.tree.leaves((state.params, state.opt_state)):
+        assert leaf.dtype != jnp.bfloat16, "f32 master state downcast"
+
+    mstate = init_train_state(
+        {"critic": jax.tree.map(np.asarray, state.params["critic"]),
+         "masker": mparams}, make_optimizer(), ["masker", "critic"])
+    mstep = make_masker_step(cfg, critic, masker, make_optimizer())
+    mstate, metrics = mstep(mstate, a[:8], y[:8], b[:8], KEY)
+    for k in ("replace", "inject", "norm", "loss", "critic"):
+        assert np.isfinite(float(metrics[k])), (k, metrics)
+    for leaf in jax.tree.leaves(mstate.params):
+        assert leaf.dtype != jnp.bfloat16
