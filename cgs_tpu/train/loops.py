@@ -56,10 +56,12 @@ def _jit_chunk(chunk: Callable, mesh, n_bank_args: int,
                    donate_argnums=(0,))
 
 
-def make_critic_chunk(cfg, critic, tx: optax.GradientTransformation,
-                      mesh=None) -> Callable:
-    """Jitted: (state, x_all u8 (N,...), y_all (N,), idx (S,B) i32,
-    key) -> (state, losses (S,)). Runs S optimizer steps on device."""
+def critic_chunk_fn(cfg, critic, tx: optax.GradientTransformation,
+                    ) -> Callable:
+    """Unjitted scanned chunk: (state, x_all u8 (N,...), y_all (N,),
+    idx (S,B) i32, key) -> (state, losses (S,)). Runs S optimizer
+    steps. Jitted by make_critic_chunk; vmapped over a leading seed
+    axis by sandbox/seed_parallel.py."""
     loss_fn = build_critic_loss(cfg, critic)
     use_shift = bool(cfg.shift)
     max_shift = int(cfg.shift)
@@ -87,7 +89,14 @@ def make_critic_chunk(cfg, critic, tx: optax.GradientTransformation,
         state, losses = jax.lax.scan(body, state, (idx, keys))
         return state, losses
 
-    return _jit_chunk(chunk, mesh, n_bank_args=2,
+    return chunk
+
+
+def make_critic_chunk(cfg, critic, tx: optax.GradientTransformation,
+                      mesh=None) -> Callable:
+    """Jitted critic_chunk_fn (see its docstring for the signature)."""
+    return _jit_chunk(critic_chunk_fn(cfg, critic, tx), mesh,
+                      n_bank_args=2,
                       index_batches=(int(cfg.batch_size),))
 
 
@@ -112,15 +121,18 @@ def make_critic_viz_fn(cfg, critic) -> Callable:
     return jax.jit(viz)
 
 
-def make_masker_chunk(cfg, critic, masker,
-                      tx: optax.GradientTransformation,
-                      mesh=None, fuse: str = "both") -> Callable:
-    """Jitted: (state, xpos, ypos, xneg, yneg, hidx (S,K), lidx (S,K),
-    cidx (S,2K), key) -> (state, losses (S,4)).
+def masker_chunk_fn(cfg, critic, masker,
+                    tx: optax.GradientTransformation,
+                    fuse: str = "both") -> Callable:
+    """Unjitted scanned chunk: (state, xpos, ypos, xneg, yneg,
+    hidx (S,K), lidx (S,K), cidx (S,2K), key) -> (state, losses (S,4)).
 
     Batch assembly parity (main.py:344-361): A = [pos[h] || neg[l]],
     Y = [ypos[h] || yneg[l]] at row rewidx, B = neg[c]; only A gets
-    the shift augmentation. fuse: see build_masker_loss."""
+    the shift augmentation. fuse: see build_masker_loss. Passing the
+    FULL banks as both pos and neg with absolute h/l/c indices is
+    equivalent (used by sandbox/seed_parallel.py to share one bank
+    across vmapped seeds)."""
     # plain jnp merges: measured faster than the fused Pallas pair
     # (XLA fuses them into the critic convs; see ops/pallas_kernels.py)
     loss_fn = build_masker_loss(cfg, critic, masker, fuse=fuse)
@@ -164,10 +176,18 @@ def make_masker_chunk(cfg, critic, masker,
                                      ((hidx, lidx, cidx), keys))
         return state, losses
 
+    return chunk
+
+
+def make_masker_chunk(cfg, critic, masker,
+                      tx: optax.GradientTransformation,
+                      mesh=None, fuse: str = "both") -> Callable:
+    """Jitted masker_chunk_fn (see its docstring for the signature)."""
     # contrastive batch sizes are fixed: K=32 high, K=32 low, 2K=64
     # contrast-negatives (main.py:309)
-    return _jit_chunk(chunk, mesh, n_bank_args=4,
-                      index_batches=(32, 32, 64))
+    return _jit_chunk(masker_chunk_fn(cfg, critic, masker, tx,
+                                      fuse=fuse),
+                      mesh, n_bank_args=4, index_batches=(32, 32, 64))
 
 
 def make_masker_viz_fn(cfg, critic, masker) -> Callable:

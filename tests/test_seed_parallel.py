@@ -1,0 +1,202 @@
+"""Seed-parallel multirun (sandbox/seed_parallel.py): the vmapped
+trainer must reproduce the serial chunk trainers per-seed exactly,
+the seed axis must shard over the mesh without changing results
+(seed-per-device), and the two-phase driver must run end-to-end on
+the synthetic fixture. Reference protocol: TrainHandler.py:4024-4056
+(the serial --runs loop this module parallelizes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgs_tpu.core.config import Config
+from cgs_tpu.models.critic import Critic
+from cgs_tpu.models.decoder import UnetDecoder
+from cgs_tpu.parallel.mesh import make_mesh
+from cgs_tpu.sandbox import seed_parallel as sp
+from cgs_tpu.train.loops import make_critic_chunk, make_masker_chunk
+from cgs_tpu.train.steps import (
+    init_train_state, make_optimizer, trained_param_keys,
+)
+
+R = 2
+CFG = Config(shift=4, dropout=0.0, batch_size=8).derive()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    critic, masker = Critic(dropout=0.0), UnetDecoder()
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(R, dtype=np.uint32))
+    params = jax.tree.map(
+        np.asarray, sp.init_seed_params(critic, masker, keys))
+    rng = np.random.default_rng(0)
+    x_all = jnp.asarray(rng.integers(0, 256, (32, 64, 64, 3),
+                                     dtype=np.uint8))
+    y_all = jnp.asarray(rng.random(32).astype(np.float32))
+    ck = np.asarray(jax.vmap(
+        lambda k: jax.random.fold_in(k, 5))(keys))
+    return critic, masker, params, x_all, y_all, ck
+
+
+def _seed_slice(tree, r):
+    return jax.tree.map(lambda a: jnp.asarray(a[r]), tree)
+
+
+def test_init_seed_params_differ(setup):
+    _, _, params, *_ = setup
+    leaf = jax.tree.leaves(params)[0]
+    assert leaf.shape[0] == R
+    with np.testing.assert_raises(AssertionError):
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(params["critic"])[0][0]),
+            np.asarray(jax.tree.leaves(params["critic"])[0][1]))
+
+
+def test_seeded_critic_chunk_matches_serial(setup):
+    critic, _, params, x_all, y_all, ck = setup
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, 32, (R, 3, 8)).astype(np.int32)
+
+    tx = make_optimizer()
+    sstate = sp.init_seed_state(
+        {"critic": jax.tree.map(jnp.asarray, params["critic"])}, tx)
+    cchunk = sp.make_seeded_critic_chunk(CFG, critic, tx)
+    sstate, vlosses = cchunk(sstate, x_all, y_all, idx, ck)
+    vparams = jax.tree.map(np.asarray, sstate.params)
+    vlosses = np.asarray(vlosses)
+    assert vlosses.shape == (R, 3)
+
+    serial = make_critic_chunk(CFG, critic, make_optimizer())
+    for r in range(R):
+        st = init_train_state(
+            {"critic": _seed_slice(params["critic"], r)},
+            make_optimizer())
+        st, losses = serial(st, x_all, y_all, jnp.asarray(idx[r]),
+                            jnp.asarray(ck[r]))
+        np.testing.assert_allclose(np.asarray(losses), vlosses[r],
+                                   rtol=1e-5, atol=1e-6)
+        for pv, ps in zip(jax.tree.leaves(vparams),
+                          jax.tree.leaves(jax.tree.map(np.asarray,
+                                                       st.params))):
+            np.testing.assert_allclose(pv[r], ps, rtol=1e-4,
+                                       atol=1e-6)
+
+
+def test_seeded_masker_chunk_matches_serial(setup):
+    critic, masker, params, x_all, y_all, ck = setup
+    rng = np.random.default_rng(2)
+    h = rng.integers(0, 32, (R, 3, 32)).astype(np.int32)
+    l = rng.integers(0, 32, (R, 3, 32)).astype(np.int32)
+    c = rng.integers(0, 32, (R, 3, 64)).astype(np.int32)
+
+    tx = make_optimizer()
+    trained = trained_param_keys(CFG)
+    mstate = sp.init_seed_state(
+        jax.tree.map(jnp.asarray, dict(params)), tx, trained)
+    mchunk = sp.make_seeded_masker_chunk(CFG, critic, masker, tx)
+    mstate, vlosses = mchunk(mstate, x_all, y_all, h, l, c, ck)
+    vparams = jax.tree.map(np.asarray, mstate.params)
+    vlosses = np.asarray(vlosses)
+    assert vlosses.shape == (R, 3, 4)
+
+    serial = make_masker_chunk(CFG, critic, masker, make_optimizer())
+    for r in range(R):
+        st = init_train_state(_seed_slice(params, r),
+                              make_optimizer(), trained)
+        st, losses = serial(st, x_all, y_all, x_all, y_all,
+                            jnp.asarray(h[r]), jnp.asarray(l[r]),
+                            jnp.asarray(c[r]), jnp.asarray(ck[r]))
+        np.testing.assert_allclose(np.asarray(losses), vlosses[r],
+                                   rtol=1e-4, atol=1e-6)
+        for pv, ps in zip(jax.tree.leaves(vparams),
+                          jax.tree.leaves(jax.tree.map(np.asarray,
+                                                       st.params))):
+            np.testing.assert_allclose(pv[r], ps, rtol=1e-4,
+                                       atol=1e-6)
+
+
+def test_seed_sharded_mesh_matches_unsharded(setup):
+    """8 seeds sharded over the 8-device 'data' axis (seed-per-device)
+    == the same 8 seeds vmapped unsharded."""
+    critic, _, _, x_all, y_all, _ = setup
+    mesh = make_mesh(n_data=8)
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(8, dtype=np.uint32))
+    params = jax.tree.map(
+        np.asarray,
+        sp.init_seed_params(critic, UnetDecoder(), keys))
+    ck = np.asarray(keys)
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 32, (8, 2, 8)).astype(np.int32)
+
+    def run(mesh_arg):
+        tx = make_optimizer()
+        sstate = sp.init_seed_state(
+            {"critic": jax.tree.map(jnp.asarray, params["critic"])},
+            tx)
+        chunk = sp.make_seeded_critic_chunk(CFG, critic, tx,
+                                            mesh=mesh_arg)
+        sstate, losses = chunk(sstate, x_all, y_all, idx, ck)
+        return (jax.tree.map(np.asarray, sstate.params),
+                np.asarray(losses))
+
+    p_plain, l_plain = run(None)
+    p_mesh, l_mesh = run(mesh)
+    # sharded vs unsharded compilations reassociate the f32 loss/grad
+    # reductions; 2 compounding Adam steps amplify that to ~2e-4
+    # relative (same magnitude test_distributed.py accepts per step)
+    np.testing.assert_allclose(l_mesh, l_plain, rtol=5e-3, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_mesh), jax.tree.leaves(p_plain)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+
+
+def test_eval_seeds_matches_host_iou(setup):
+    critic, masker, params, *_ = setup
+    rng = np.random.default_rng(4)
+    xe = rng.integers(0, 256, (10, 64, 64, 3), dtype=np.uint8)
+    gt = rng.random((10, 64, 64)) > 0.5
+    p = jax.tree.map(jnp.asarray,
+                     {"critic": params["critic"],
+                      "masker": params["masker"]})
+    ious = sp.eval_seeds(critic, masker, p, jnp.asarray(xe), gt,
+                         thresh=0.5, batch=4)   # batch !| n: padding
+    assert ious.shape == (R,)
+    for r in range(R):
+        cp = _seed_slice(params["critic"], r)
+        mp = _seed_slice(params["masker"], r)
+        x = jnp.asarray(xe, jnp.float32) / 255.0
+        _, em = critic.apply({"params": cp}, x, collect=True,
+                             deterministic=True)
+        z = np.asarray(masker.apply({"params": mp}, x, em))[..., 0]
+        hard = z > 0.5
+        inter = np.sum(hard & gt)
+        union = np.sum(hard | gt)
+        np.testing.assert_allclose(ious[r], inter / max(union, 1),
+                                   rtol=1e-6)
+
+
+@pytest.mark.slow  # full two-phase parallel training (~4 min, 1 CPU)
+def test_run_parallel_e2e_synthetic(tmp_path):
+    """Tiny two-phase parallel run on the synthetic fixture: per-seed
+    IoUs finite, results.txt line appended, losses move."""
+    from cgs_tpu.data.synthetic import synthetic_dataset, synthetic_eval_set
+
+    cfg = Config(shift=4, dropout=0.0, batch_size=32, cepochs=6,
+                 mepochs=1, testsize=100, high_rew_thresh=0.55,
+                 low_rew_thresh=0.45, contrastive_min=5).derive()
+    x, y, _ = synthetic_dataset(n_frames=1200, seed=0)
+    xe, gt = synthetic_eval_set(n_frames=64, seed=99)
+    results = str(tmp_path / "results.txt")
+    out = sp.run_parallel(cfg, x, y, runs=2, base_seed=0,
+                          x_eval=xe, gt_eval=gt,
+                          results_path=results, chunk_steps=16,
+                          verbose=False)
+    assert len(out["ious"]) == 2
+    assert np.isfinite(out["ious"]).all()
+    assert 0.0 <= out["mean"] <= 1.0
+    assert out["critic_losses"].shape[0] == 2
+    assert np.isfinite(out["critic_losses"]).all()
+    assert np.isfinite(out["masker_losses"]).all()
+    with open(results) as fp:
+        line = fp.read()
+    assert "seed-parallel" in line and "mean=" in line
