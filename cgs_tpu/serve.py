@@ -17,6 +17,10 @@ API:  POST /segment        body = PNG/JPEG (64x64 RGB; ?resize=1 to
                            refines the raw soft mask like -process)
       -> image/png grayscale mask (input resolution);
          400 = client error, 503 = inference failure/overload
+      POST /reload         -> hot-swap the run dir's current .pt
+                           checkpoints into the live pipeline (zero
+                           downtime; missing files keep the served
+                           weights); JSON {reloaded: {name: bool}}
       GET  /healthz        -> JSON {status, dispatches, frames, ...}
       GET  /stats          -> same JSON
 
@@ -255,10 +259,13 @@ class MaskServer:
         warm = pipe.run_device(pipe.place_input(
             np.zeros((batch, 64, 64, 3), np.uint8)))
         np.asarray(warm[1])
+        self.pipe = pipe
         self.batcher = MicroBatcher(pipe, batch,
                                     max_wait_ms=cfg.serve_wait_ms)
         self.crf_fn = crf_fn
         self.httpd: Optional[ThreadingHTTPServer] = None
+        self._reload_lock = threading.Lock()
+        self.reloads = 0
 
     @staticmethod
     def _load_params(cfg, critic, masker, load_model_pt):
@@ -295,6 +302,40 @@ class MaskServer:
                 print(f"[cgs-tpu serve] loaded {path}")
                 params[name] = loaded
         return params
+
+    def reload_checkpoints(self) -> dict:
+        """Zero-downtime model update: re-read the fingerprinted .pt
+        checkpoints from the run dir and hot-swap them into the live
+        pipeline. Serves the continuous-training deployment loop
+        (Handler keeps overwriting the same fingerprinted filenames
+        every --saveevery epochs, main.py:228,565 — a co-located
+        server picks the new weights up without dropping traffic).
+
+        Missing files keep the CURRENTLY SERVED sub-tree (unlike
+        startup, which falls back to random init) — a reload must
+        never degrade a live model. The swap itself is
+        MaskPipeline.update_params: a single attribute assignment,
+        atomic under the GIL; in-flight dispatches finish on the old
+        tree, the next dispatch picks up the new one. Returns
+        {model name: loaded bool}."""
+        from cgs_tpu.train.checkpoints import checkpoint_paths, load_model_pt
+
+        with self._reload_lock:
+            params = dict(self.pipe.params)
+            loaded = {}
+            for name, path in checkpoint_paths(self.cfg).items():
+                if name not in params:
+                    continue
+                new = load_model_pt(name, path)
+                loaded[name] = new is not None
+                if new is not None:
+                    params[name] = new
+            if any(loaded.values()):
+                self.pipe.update_params(params)
+                self.reloads += 1
+                print(f"[cgs-tpu serve] reloaded {sorted(
+                    n for n, ok in loaded.items() if ok)}")
+            return loaded
 
     # -- request handling -------------------------------------------
 
@@ -357,12 +398,23 @@ class MaskServer:
                     self._json(503 if dead else 200,
                                {"status": "dead" if dead else "ok",
                                 **server.batcher.stats,
-                                "batch": server.batcher.batch})
+                                "batch": server.batcher.batch,
+                                "reloads": server.reloads})
                 else:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
                 url = urlparse(self.path)
+                if url.path == "/reload":
+                    try:
+                        loaded = server.reload_checkpoints()
+                    except Exception as e:
+                        self._json(500, {"error": f"{type(e).__name__}"
+                                                  f": {e}"})
+                        return
+                    self._json(200, {"reloaded": loaded,
+                                     "reloads": server.reloads})
+                    return
                 if url.path != "/segment":
                     self._json(404, {"error": "not found"})
                     return

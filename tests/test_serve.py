@@ -302,3 +302,76 @@ def test_http_burst_no_connection_resets(server, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_reload_checkpoints_hot_swaps_weights(tmp_path, rng):
+    """POST /reload semantics: a checkpoint written AFTER server start
+    (the continuous-training loop — Handler overwrites the same
+    fingerprinted names every --saveevery epochs, main.py:228,565)
+    must swap into the live pipeline and change served masks; missing
+    files must keep the currently served weights, never re-randomize."""
+    import os
+
+    import jax
+
+    from cgs_tpu.train.checkpoints import (
+        checkpoint_paths, params_to_host, save_model_pt,
+    )
+
+    cfg = parse_args(["--infer-batch", "16", "--serve-wait-ms", "5",
+                      "--model", str(tmp_path / "run")])
+    os.makedirs(os.path.dirname(checkpoint_paths(cfg)["critic"]),
+                exist_ok=True)
+    srv = MaskServer(cfg)   # no files yet -> random init
+    try:
+        # nothing on disk: reload is a no-op that reports both missing
+        loaded = srv.reload_checkpoints()
+        assert loaded == {"critic": False, "masker": False}
+        assert srv.reloads == 0
+
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        before = srv.batcher.submit(frame).mask
+
+        # 'train' a new masker (perturb) and publish it Handler-style
+        host = params_to_host(srv.pipe.params)
+        new_masker = jax.tree.map(lambda a: a + 0.2, host["masker"])
+        save_model_pt(new_masker, "masker",
+                      checkpoint_paths(cfg)["masker"])
+        loaded = srv.reload_checkpoints()
+        assert loaded == {"critic": False, "masker": True}
+        assert srv.reloads == 1
+
+        after = srv.batcher.submit(frame).mask
+        assert np.abs(after - before).max() > 1e-4  # weights swapped
+        # the critic sub-tree (missing file) was preserved, not
+        # re-randomized
+        for a, b in zip(jax.tree.leaves(host["critic"]),
+                        jax.tree.leaves(
+                            params_to_host(srv.pipe.params)["critic"])):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        srv.batcher.close()
+
+
+def test_reload_http_endpoint(server):
+    """POST /reload returns the per-model load report as JSON (both
+    false here: the fixture's run dir has no checkpoints) and /stats
+    reports the reload counter."""
+    httpd = server.start(port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload", data=b"", method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+            payload = json.loads(r.read())
+        assert payload["reloaded"] == {"critic": False,
+                                       "masker": False}
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            assert "reloads" in json.loads(r.read())
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
