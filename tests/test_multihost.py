@@ -127,3 +127,108 @@ def test_two_process_training_matches_single(tmp_path):
     flat_b = np.concatenate([np.asarray(v).ravel() for v in
                              jax.tree.leaves(h.params["critic"])])
     np.testing.assert_allclose(flat_a, flat_b, atol=1e-3)
+
+
+SEED_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from cgs_tpu.parallel.multihost import ensure_initialized
+assert ensure_initialized(f"localhost:{{port}}", 2, pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+import numpy as np, jax.numpy as jnp
+from cgs_tpu.core.config import Config
+from cgs_tpu.models.critic import Critic
+from cgs_tpu.models.decoder import UnetDecoder
+from cgs_tpu.parallel.mesh import make_mesh, replicate_tree
+from cgs_tpu.sandbox import seed_parallel as sp
+from cgs_tpu.train.steps import make_optimizer
+
+R = 4
+mesh = make_mesh(n_data=4)
+cfg = Config(shift=4, dropout=0.0, batch_size=8).derive()
+critic = Critic(dropout=0.0)
+keys = jax.vmap(jax.random.PRNGKey)(np.arange(R, dtype=np.uint32))
+params = jax.tree.map(np.asarray,
+                      sp.init_seed_params(critic, UnetDecoder(), keys))
+rng = np.random.default_rng(0)
+x_all = replicate_tree(mesh, rng.integers(0, 256, (32, 64, 64, 3),
+                                          dtype=np.uint8))
+y_all = replicate_tree(mesh, rng.random(32).astype(np.float32))
+idx = rng.integers(0, 32, (R, 2, 8)).astype(np.int32)
+ck = np.asarray(keys)
+
+tx = make_optimizer()
+# host-numpy state: every process supplies the identical values and
+# the jit places each leaf per the shard_map specs (the global-array
+# construction rule — a locally-committed jnp tree would be rejected)
+state = jax.tree.map(np.asarray, sp.init_seed_state(
+    {{"critic": jax.tree.map(jnp.asarray, params["critic"])}}, tx))
+chunk = sp.make_seeded_critic_chunk(cfg, critic, tx, mesh=mesh)
+state, losses = chunk(state, x_all, y_all, idx, ck)
+for shard in losses.addressable_shards:
+    r0 = shard.index[0].start or 0
+    for j, row in enumerate(np.asarray(shard.data)):
+        print(f"MHSEED {{r0 + j}} " + " ".join(f"{{v:.8f}}" for v in row),
+              flush=True)
+"""
+
+
+def test_two_process_seed_parallel_matches_local(tmp_path):
+    """Seed-per-device across PROCESSES: 4 seeds sharded over a
+    2-process 4-device global mesh must reproduce the local unsharded
+    vmap run (the pod-slice claim of sandbox/seed_parallel.py)."""
+    worker = tmp_path / "seed_worker.py"
+    worker.write_text(SEED_WORKER.format(repo=REPO))
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), str(i),
+                          str(port)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    got = {}
+    for out in outs:
+        for ln in out.splitlines():
+            if ln.startswith("MHSEED "):
+                parts = ln.split()
+                got[int(parts[1])] = [float(v) for v in parts[2:]]
+    assert sorted(got) == [0, 1, 2, 3], got
+
+    # local reference: same seeds, plain vmap, no mesh
+    import jax
+    import jax.numpy as jnp
+
+    from cgs_tpu.core.config import Config
+    from cgs_tpu.models.critic import Critic
+    from cgs_tpu.models.decoder import UnetDecoder
+    from cgs_tpu.sandbox import seed_parallel as sp
+    from cgs_tpu.train.steps import make_optimizer
+
+    R = 4
+    cfg = Config(shift=4, dropout=0.0, batch_size=8).derive()
+    critic = Critic(dropout=0.0)
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(R, dtype=np.uint32))
+    params = sp.init_seed_params(critic, UnetDecoder(), keys)
+    rng = np.random.default_rng(0)
+    x_all = jnp.asarray(rng.integers(0, 256, (32, 64, 64, 3),
+                                     dtype=np.uint8))
+    y_all = jnp.asarray(rng.random(32).astype(np.float32))
+    idx = rng.integers(0, 32, (R, 2, 8)).astype(np.int32)
+    tx = make_optimizer()
+    state = sp.init_seed_state({"critic": params["critic"]}, tx)
+    chunk = sp.make_seeded_critic_chunk(cfg, critic, tx)
+    _, ref = chunk(state, x_all, y_all, idx, np.asarray(keys))
+    ref = np.asarray(ref)
+    for r in range(R):
+        np.testing.assert_allclose(got[r], ref[r], rtol=5e-3,
+                                   atol=1e-5)
