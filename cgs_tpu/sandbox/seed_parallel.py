@@ -215,6 +215,49 @@ def eval_seeds(critic, masker, params, x_eval, gt,
     return np.asarray(inter) / np.maximum(np.asarray(union), 1)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+def _ensemble_eval_counts(critic, masker, params, x_eval, gt, idx,
+                          thresh: float):
+    """Seed-ensemble IoU counts: mean soft mask over the seed axis,
+    thresholded, vs GT — a capability the serial reference protocol
+    has no analogue for (each of its runs is an independent model;
+    here all R masks of a frame come out of one vmapped forward)."""
+    n = x_eval.shape[0]
+    valid = (jnp.arange(idx.size).reshape(idx.shape) < n)
+
+    def body(carry, inp):
+        bidx, v = inp
+        xb = ingest(jnp.take(x_eval, bidx, axis=0))
+
+        def one(cp, mp):
+            _, em = critic.apply({"params": cp}, xb, collect=True,
+                                 deterministic=True)
+            return masker.apply({"params": mp}, xb, em)[..., 0]
+
+        z = jax.vmap(one)(params["critic"], params["masker"])
+        hard = (jnp.mean(z, axis=0) > thresh) & v[:, None, None]
+        g = jnp.take(gt, bidx, axis=0) & v[:, None, None]
+        return (carry[0] + jnp.sum(hard & g, dtype=jnp.int32),
+                carry[1] + jnp.sum(hard | g, dtype=jnp.int32)), 0
+
+    (i, u), _ = jax.lax.scan(body, (jnp.int32(0), jnp.int32(0)),
+                             (idx, valid))
+    return i, u
+
+
+def ensemble_iou(critic, masker, params, x_eval, gt,
+                 thresh: float = 0.05, batch: int = 256) -> float:
+    """IoU of the R-seed mean-mask ensemble at --eval-thresh."""
+    n = int(x_eval.shape[0])
+    n_chunks = -(-n // batch)
+    idx = np.minimum(np.arange(n_chunks * batch, dtype=np.int32),
+                     n - 1).reshape(n_chunks, batch)
+    inter, union = _ensemble_eval_counts(
+        critic, masker, params, x_eval, jnp.asarray(gt), idx,
+        float(thresh))
+    return float(inter) / max(float(union), 1)
+
+
 # ---------------------------------------------------------------------
 # the driver
 # ---------------------------------------------------------------------
@@ -222,15 +265,21 @@ def eval_seeds(critic, masker, params, x_eval, gt,
 def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
                  mesh=None, x_eval=None, gt_eval=None,
                  results_path: Optional[str] = "results.txt",
-                 chunk_steps: int = 100, verbose: bool = True) -> dict:
+                 chunk_steps: int = 100, verbose: bool = True,
+                 save_checkpoints: bool = False) -> dict:
     """Two-phase training of `runs` seeds in parallel on one bank.
 
     cfg: a derived Config. x (N,64,64,3) u8 / y (7,N) labels as from
     collect_data. Critic phase: cfg.cepochs epochs of per-seed
     shuffled batches (main.py:182-199). Contrastive split + masker
-    phase per main.py:238-463. Eval: on-device per-seed IoU when
-    (x_eval, gt_eval) given. Returns {'ious','mean','std','best',
-    'params', 'elapsed_s', 'steps': {...}}."""
+    phase per main.py:238-463. Eval: on-device per-seed IoU plus the
+    R-seed mean-mask ensemble IoU when (x_eval, gt_eval) given.
+    save_checkpoints: write per-seed reference-layout .pt files under
+    `{model}-seed{s}/saves/` (the serial multirun's run-name
+    convention) — the PHASE-1 critic and the final masker, mirroring
+    the reference's persistence quirk (live-critic updates are never
+    saved, main.py:565,575,1561-1564). Returns {'ious','mean','std',
+    'best','ensemble_iou','params','elapsed_s','steps': {...}}."""
     from cgs_tpu.data.loader import DataBundle
     from cgs_tpu.models.critic import Critic
     from cgs_tpu.models.decoder import UnetDecoder
@@ -299,6 +348,11 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
                   f"{np.asarray(losses)[:, -1].round(4)}", flush=True)
     params = {**params, "critic": cstate.params["critic"]}
     critic_steps = cfg.cepochs * steps_epoch
+    # the PERSISTED critic is the phase-1 result: the reference never
+    # saves the masker phase's live-critic updates (main.py:565,575,
+    # 1561-1564) — snapshot before phase 2 overwrites params
+    critic_p1_host = jax.tree.map(np.asarray, params["critic"]) \
+        if save_checkpoints else None
 
     # ---- contrastive split (main.py:238-312), per seed --------------
     preds = seeded_sweep(critic, params["critic"], x_dev, n_train)
@@ -347,13 +401,32 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
                   flush=True)
     params = {**params, **{k: mstate.params[k] for k in trained}}
 
+    if save_checkpoints:
+        import dataclasses
+
+        from cgs_tpu.train.checkpoints import (
+            checkpoint_paths, save_model_pt,
+        )
+        masker_host = jax.tree.map(np.asarray, params["masker"])
+        for r in range(runs):
+            cfg_r = dataclasses.replace(
+                cfg, model=f"{cfg.model}-seed{base_seed + r}").derive()
+            paths = checkpoint_paths(cfg_r)
+            take = lambda tree: jax.tree.map(lambda a: a[r], tree)
+            save_model_pt(take(critic_p1_host), "critic",
+                          paths["critic"])
+            save_model_pt(take(masker_host), "masker", paths["masker"])
+
     # ---- eval (main.py:891-1101, mask variant only) ------------------
     ious = None
+    ens = None
     if x_eval is not None and gt_eval is not None:
         xe = jax.device_put(x_eval, repl) if repl is not None \
             else jnp.asarray(x_eval)
         ious = eval_seeds(critic, masker, params, xe, gt_eval,
                           thresh=cfg.eval_thresh)
+        ens = ensemble_iou(critic, masker, params, xe, gt_eval,
+                           thresh=cfg.eval_thresh)
 
     elapsed = time.time() - t0
     out = {
@@ -367,12 +440,13 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
     if ious is not None:
         arr = np.asarray(ious, np.float64)
         out.update(ious=arr.tolist(), mean=float(arr.mean()),
-                   std=float(arr.std()), best=float(arr.max()))
+                   std=float(arr.std()), best=float(arr.max()),
+                   ensemble_iou=ens)
         if results_path:
             line = (f"runs={runs} seed-parallel base_seed={base_seed} "
                     f"ious={[round(v, 3) for v in arr.tolist()]} "
                     f"mean={out['mean']:.3f} std={out['std']:.3f} "
-                    f"best={out['best']:.3f}\n")
+                    f"best={out['best']:.3f} ensemble={ens:.3f}\n")
             with open(results_path, "a") as fp:
                 fp.write(line)
     return out
@@ -402,10 +476,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
     x_eval, gt = x_eval[100:5000:2], gt[100:5000:2]  # main.py:927-928
     out = run_parallel(cfg, x, y, runs,
                        mesh=local_mesh_or_none(cfg),
-                       x_eval=x_eval, gt_eval=gt)
+                       x_eval=x_eval, gt_eval=gt,
+                       save_checkpoints=True)
     if "ious" in out:
         print(f"[seed-parallel] ious={np.round(out['ious'], 3)} "
               f"mean={out['mean']:.3f} best={out['best']:.3f} "
+              f"ensemble={out['ensemble_iou']:.3f} "
               f"({out['elapsed_s']:.1f}s)")
     return out
 

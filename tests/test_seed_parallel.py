@@ -175,31 +175,85 @@ def test_eval_seeds_matches_host_iou(setup):
                                    rtol=1e-6)
 
 
-@pytest.mark.slow  # full two-phase parallel training (~4 min, 1 CPU)
-def test_run_parallel_e2e_synthetic(tmp_path):
-    """Tiny two-phase parallel run on the synthetic fixture: per-seed
-    IoUs finite, results.txt line appended, losses move."""
-    from cgs_tpu.data.synthetic import synthetic_dataset, synthetic_eval_set
+def test_ensemble_iou_matches_host(setup):
+    """Mean-z ensemble IoU == the host recomputation from per-seed
+    soft masks."""
+    critic, masker, params, *_ = setup
+    rng = np.random.default_rng(5)
+    xe = rng.integers(0, 256, (10, 64, 64, 3), dtype=np.uint8)
+    gt = rng.random((10, 64, 64)) > 0.5
+    p = jax.tree.map(jnp.asarray,
+                     {"critic": params["critic"],
+                      "masker": params["masker"]})
+    got = sp.ensemble_iou(critic, masker, p, jnp.asarray(xe), gt,
+                          thresh=0.5, batch=4)
+    x = jnp.asarray(xe, jnp.float32) / 255.0
+    zs = []
+    for r in range(R):
+        cp = _seed_slice(params["critic"], r)
+        mp = _seed_slice(params["masker"], r)
+        _, em = critic.apply({"params": cp}, x, collect=True,
+                             deterministic=True)
+        zs.append(np.asarray(masker.apply({"params": mp}, x,
+                                          em))[..., 0])
+    hard = np.mean(zs, axis=0) > 0.5
+    want = np.sum(hard & gt) / max(np.sum(hard | gt), 1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
 
+
+@pytest.mark.slow  # full two-phase parallel training (~4 min, 1 CPU)
+def test_run_parallel_e2e_synthetic(tmp_path, monkeypatch):
+    """Tiny two-phase parallel run on the synthetic fixture: per-seed
+    IoUs finite, ensemble IoU reported, per-seed .pt checkpoints in
+    the serial-multirun layout, results.txt line appended."""
+    from cgs_tpu.data.synthetic import synthetic_dataset, synthetic_eval_set
+    from cgs_tpu.train.checkpoints import load_model_pt
+
+    monkeypatch.chdir(tmp_path)
     cfg = Config(shift=4, dropout=0.0, batch_size=32, cepochs=6,
                  mepochs=1, testsize=100, high_rew_thresh=0.55,
-                 low_rew_thresh=0.45, contrastive_min=5).derive()
+                 low_rew_thresh=0.45, contrastive_min=5,
+                 model="sp").derive()
     x, y, _ = synthetic_dataset(n_frames=1200, seed=0)
     xe, gt = synthetic_eval_set(n_frames=64, seed=99)
     results = str(tmp_path / "results.txt")
     out = sp.run_parallel(cfg, x, y, runs=2, base_seed=0,
                           x_eval=xe, gt_eval=gt,
                           results_path=results, chunk_steps=16,
-                          verbose=False)
+                          verbose=False, save_checkpoints=True)
     assert len(out["ious"]) == 2
     assert np.isfinite(out["ious"]).all()
     assert 0.0 <= out["mean"] <= 1.0
+    assert 0.0 <= out["ensemble_iou"] <= 1.0
     assert out["critic_losses"].shape[0] == 2
     assert np.isfinite(out["critic_losses"]).all()
     assert np.isfinite(out["masker_losses"]).all()
     with open(results) as fp:
         line = fp.read()
-    assert "seed-parallel" in line and "mean=" in line
+    assert "seed-parallel" in line and "mean=" in line \
+        and "ensemble=" in line
+
+    # per-seed checkpoints: serial-multirun run-name convention,
+    # loadable, distinct across seeds, critic = PHASE-1 (the
+    # never-persist-live-critic quirk is exercised by construction:
+    # the default-live run trains the critic in phase 2)
+    import dataclasses
+    got = {}
+    for r in range(2):
+        cfg_r = dataclasses.replace(cfg, model=f"sp-seed{r}").derive()
+        from cgs_tpu.train.checkpoints import checkpoint_paths
+        paths = checkpoint_paths(cfg_r)
+        c = load_model_pt("critic", paths["critic"])
+        m = load_model_pt("masker", paths["masker"])
+        assert c is not None and m is not None
+        got[r] = (c, m)
+    leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
+    assert not np.array_equal(leaf(got[0][0]), leaf(got[1][0]))
+    assert not np.array_equal(leaf(got[0][1]), leaf(got[1][1]))
+    # the saved critic differs from the final (live-updated) one
+    final_c0 = jax.tree.map(lambda a: np.asarray(a[0]),
+                            out["params"]["critic"])
+    assert not np.array_equal(leaf(got[0][0]), leaf(final_c0))
 
 
 @pytest.mark.xfail(
