@@ -98,11 +98,20 @@ def load_pt_masker(path: str) -> Dict:
 
 
 def save_pt(params: Dict, keymap: Dict[str, str], path: str) -> None:
-    """Save flax params as a reference-layout .pt state_dict."""
+    """Save flax params as a reference-layout .pt state_dict.
+
+    Atomic publish (tmp + os.replace): training overwrites the same
+    fingerprinted filename every --saveevery epochs (main.py:228,565)
+    while a co-located server may be mid-`/reload` — a direct
+    torch.save would let the reader see a truncated zip."""
+    import os
+
     import torch
     state = {k: torch.from_numpy(np.ascontiguousarray(v))
              for k, v in flax_to_torch_state(params, keymap).items()}
-    torch.save(state, path)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    torch.save(state, tmp)
+    os.replace(tmp, path)
 
 
 # ---------------------------------------------------------------------

@@ -58,17 +58,27 @@ def _seeded_name(argv: List[str], seed: int) -> str:
     return f"{name}-seed{seed}"
 
 
+def pop_runs(argv: List[str], default: int = 1) -> int:
+    """Extract `--runs N` from argv IN PLACE (shared by the serial and
+    seed-parallel CLI entries; upstream parses the flag but never
+    reads it, TrainHandler.py:4024 is the living version)."""
+    if "--runs" not in argv:
+        return default
+    i = argv.index("--runs")
+    if i + 1 >= len(argv):
+        raise SystemExit("--runs requires a value")
+    runs = int(argv[i + 1])
+    del argv[i:i + 2]
+    return runs
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     """`python -m cgs_tpu.sandbox.multirun --runs N <cli args...>` —
     the reference's `--runs` flag made functional (it is parsed but
     dead in main.py)."""
     import sys
     argv = list(argv if argv is not None else sys.argv[1:])
-    runs = 1
-    if "--runs" in argv:
-        i = argv.index("--runs")
-        runs = int(argv[i + 1])
-        del argv[i:i + 2]
+    runs = pop_runs(argv)
     run_seeds(argv, runs)
 
 

@@ -160,13 +160,39 @@ def _seeded_sweep(critic, cparams, x_all, idx):
     return jax.vmap(one)(cparams)
 
 
+def _unshard(tree):
+    """GSPMD-bug defense for the plain-jit sweep/eval programs (see
+    _seed_jit): a leaf left P('data')-sharded by a meshed training
+    chunk would route the vmapped forward through the partitioner,
+    which miscompiles the 4x4-VALID bottleneck conv. Materialize
+    multi-device leaves to host numpy — the jit then runs
+    unpartitioned (exact); the trees are ~30 KB, one call per run."""
+    def fix(a):
+        if isinstance(a, jax.Array) and len(a.sharding.device_set) > 1:
+            return np.asarray(a)
+        return a
+
+    return jax.tree.map(fix, tree)
+
+
 def seeded_sweep(critic, cparams, x_dev, n: int,
                  batch: int = 4096) -> np.ndarray:
     """(R, n) host preds over n device-resident frames."""
     n_chunks = -(-n // batch)
     idx = np.minimum(np.arange(n_chunks * batch, dtype=np.int32),
                      n - 1).reshape(n_chunks, batch)
-    return np.asarray(_seeded_sweep(critic, cparams, x_dev, idx))[:, :n]
+    return np.asarray(_seeded_sweep(critic, _unshard(cparams), x_dev,
+                                    idx))[:, :n]
+
+
+def _eval_embeds(critic, p, xb):
+    """Feature source for the masker: the sepcrit's embeds in a
+    -separate run (pipeline.py:140-144 / main.py:946-947 — the masker
+    was TRAINED on those features), the critic's otherwise."""
+    src = p["sepcrit"] if "sepcrit" in p else p["critic"]
+    _, em = critic.apply({"params": src}, xb, collect=True,
+                         deterministic=True)
+    return em
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 6))
@@ -180,13 +206,12 @@ def _seeded_eval_counts(critic, masker, params, x_eval, gt, idx,
     # exactly the flat positions >= n — weight them out
     valid = (jnp.arange(idx.size).reshape(idx.shape) < n)
 
-    def one(cp, mp):
+    def one(p):
         def body(carry, inp):
             bidx, v = inp
             xb = ingest(jnp.take(x_eval, bidx, axis=0))
-            pred, em = critic.apply({"params": cp}, xb, collect=True,
-                                    deterministic=True)
-            z = masker.apply({"params": mp}, xb, em)
+            em = _eval_embeds(critic, p, xb)
+            z = masker.apply({"params": p["masker"]}, xb, em)
             hard = (z[..., 0] > thresh) & v[:, None, None]
             g = jnp.take(gt, bidx, axis=0) & v[:, None, None]
             inter = jnp.sum(hard & g, dtype=jnp.int32)
@@ -197,7 +222,7 @@ def _seeded_eval_counts(critic, masker, params, x_eval, gt, idx,
             body, (jnp.int32(0), jnp.int32(0)), (idx, valid))
         return i, u
 
-    return jax.vmap(one)(params["critic"], params["masker"])
+    return jax.vmap(one)(params)
 
 
 def eval_seeds(critic, masker, params, x_eval, gt,
@@ -209,7 +234,8 @@ def eval_seeds(critic, masker, params, x_eval, gt,
     n_chunks = -(-n // batch)
     idx = np.minimum(np.arange(n_chunks * batch, dtype=np.int32),
                      n - 1).reshape(n_chunks, batch)
-    inter, union = _seeded_eval_counts(critic, masker, params, x_eval,
+    inter, union = _seeded_eval_counts(critic, masker,
+                                       _unshard(params), x_eval,
                                        jnp.asarray(gt), idx,
                                        float(thresh))
     return np.asarray(inter) / np.maximum(np.asarray(union), 1)
@@ -229,12 +255,12 @@ def _ensemble_eval_counts(critic, masker, params, x_eval, gt, idx,
         bidx, v = inp
         xb = ingest(jnp.take(x_eval, bidx, axis=0))
 
-        def one(cp, mp):
-            _, em = critic.apply({"params": cp}, xb, collect=True,
-                                 deterministic=True)
-            return masker.apply({"params": mp}, xb, em)[..., 0]
+        def one(p):
+            em = _eval_embeds(critic, p, xb)
+            return masker.apply({"params": p["masker"]}, xb,
+                                em)[..., 0]
 
-        z = jax.vmap(one)(params["critic"], params["masker"])
+        z = jax.vmap(one)(params)
         hard = (jnp.mean(z, axis=0) > thresh) & v[:, None, None]
         g = jnp.take(gt, bidx, axis=0) & v[:, None, None]
         return (carry[0] + jnp.sum(hard & g, dtype=jnp.int32),
@@ -253,14 +279,30 @@ def ensemble_iou(critic, masker, params, x_eval, gt,
     idx = np.minimum(np.arange(n_chunks * batch, dtype=np.int32),
                      n - 1).reshape(n_chunks, batch)
     inter, union = _ensemble_eval_counts(
-        critic, masker, params, x_eval, jnp.asarray(gt), idx,
-        float(thresh))
+        critic, masker, _unshard(params), x_eval, jnp.asarray(gt),
+        idx, float(thresh))
     return float(inter) / max(float(union), 1)
 
 
 # ---------------------------------------------------------------------
 # the driver
 # ---------------------------------------------------------------------
+
+def _build_models(cfg):
+    """Models per the Config — the same construction as
+    handler.py:79-86 / serve.py (neck/chfak widths, --bf16 compute
+    dtype); the saved-checkpoint fingerprints encode chfak, so the
+    trained architecture MUST match the flags."""
+    from cgs_tpu.models.critic import Critic
+    from cgs_tpu.models.decoder import UnetDecoder
+
+    cdt = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    critic = Critic(bottleneck=cfg.neck, chfak=cfg.chfak,
+                    dropout=cfg.dropout, compute_dtype=cdt)
+    masker = UnetDecoder(bottleneck=cfg.neck, chfak=cfg.chfak,
+                         compute_dtype=cdt)
+    return critic, masker
+
 
 def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
                  mesh=None, x_eval=None, gt_eval=None,
@@ -279,11 +321,27 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
     convention) — the PHASE-1 critic and the final masker, mirroring
     the reference's persistence quirk (live-critic updates are never
     saved, main.py:565,575,1561-1564). Returns {'ious','mean','std',
-    'best','ensemble_iou','params','elapsed_s','steps': {...}}."""
-    from cgs_tpu.data.loader import DataBundle
-    from cgs_tpu.models.critic import Critic
-    from cgs_tpu.models.decoder import UnetDecoder
+    'best','ensemble_iou','params','elapsed_s','steps': {...}}.
 
+    A -separate run's sepcrit is trained and used for eval features
+    but NOT persisted — the reference never saves it either (its
+    load_models list is [critic, masker], main.py:1554-1564), so a
+    reloaded -separate run falls back to a random sepcrit upstream
+    and here alike (the quirk is the contract).
+
+    Single-controller only: host-side sampling and np.asarray
+    readbacks assume every shard is addressable. For multi-process
+    meshes drive make_seeded_*_chunk directly (the pattern
+    tests/test_multihost.py proves)."""
+    from cgs_tpu.data.loader import DataBundle
+
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "run_parallel is a single-controller driver; on "
+            "multi-process meshes call make_seeded_critic_chunk / "
+            "make_seeded_masker_chunk directly with host-numpy state "
+            "(see tests/test_multihost.py::"
+            "test_two_process_seed_parallel_matches_local)")
     if mesh is not None and runs % mesh.shape["data"]:
         raise ValueError(
             f"runs={runs} must divide over the 'data' axis "
@@ -302,8 +360,7 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
     x_dev, y_dev = bundle.x_train_dev, bundle.y_train_dev
     n_train = bundle.n_train
 
-    critic = Critic(dropout=cfg.dropout)
-    masker = UnetDecoder()
+    critic, masker = _build_models(cfg)
     keys = jax.vmap(jax.random.PRNGKey)(
         np.arange(base_seed, base_seed + runs, dtype=np.uint32))
     params = init_seed_params(critic, masker, keys,
@@ -355,6 +412,8 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
         if save_checkpoints else None
 
     # ---- contrastive split (main.py:238-312), per seed --------------
+    # (seeded_sweep/_unshard pulls meshed seed-sharded params to host
+    # itself — the GSPMD-bug defense lives in the wrappers)
     preds = seeded_sweep(critic, params["critic"], x_dev, n_train)
     pos_lists, neg_lists = [], []
     for r in range(runs):
@@ -465,11 +524,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
     from cgs_tpu.parallel.mesh import local_mesh_or_none
 
     argv = list(argv if argv is not None else sys.argv[1:])
-    runs = 1
-    if "--runs" in argv:
-        i = argv.index("--runs")
-        runs = int(argv[i + 1])
-        del argv[i:i + 2]
+    from cgs_tpu.sandbox.multirun import pop_runs
+    runs = pop_runs(argv)
     cfg = parse_args(argv)
     x, y, _ = collect_data(cfg)
     x_eval, gt = synthetic_eval_set(n_frames=5000, seed=99)

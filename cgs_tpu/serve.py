@@ -326,15 +326,25 @@ class MaskServer:
             for name, path in checkpoint_paths(self.cfg).items():
                 if name not in params:
                     continue
-                new = load_model_pt(name, path)
+                try:
+                    new = load_model_pt(name, path)
+                except Exception as e:
+                    # per-model isolation: one unreadable file (e.g. a
+                    # corrupt write) must not discard the sub-trees
+                    # already read or fail the whole reload with 500
+                    print(f"[cgs-tpu serve] reload {name}: "
+                          f"{type(e).__name__}: {e} — keeping served "
+                          "weights")
+                    loaded[name] = False
+                    continue
                 loaded[name] = new is not None
                 if new is not None:
                     params[name] = new
             if any(loaded.values()):
                 self.pipe.update_params(params)
                 self.reloads += 1
-                print(f"[cgs-tpu serve] reloaded {sorted(
-                    n for n, ok in loaded.items() if ok)}")
+                ok = sorted(n for n, got in loaded.items() if got)
+                print(f"[cgs-tpu serve] reloaded {ok}")
             return loaded
 
     # -- request handling -------------------------------------------

@@ -285,3 +285,101 @@ def test_gspmd_vmapped_valid_conv_canary():
     serial = np.stack([np.asarray(jax.jit(conv)(w[r], x[r]))
                        for r in range(8)])
     np.testing.assert_allclose(meshed, serial, rtol=1e-5, atol=1e-5)
+
+
+def test_eval_seeds_separate_uses_sepcrit_embeds(setup):
+    """-separate eval parity: the masker must read the sepcrit's
+    embeds (pipeline.py:140-144 / main.py:946-947), not the live
+    critic's."""
+    critic, masker, params, *_ = setup
+    rng = np.random.default_rng(6)
+    xe = rng.integers(0, 256, (6, 64, 64, 3), dtype=np.uint8)
+    gt = rng.random((6, 64, 64)) > 0.5
+    # a distinct sepcrit tree (different init)
+    sep = Critic(dropout=0.0).init(
+        {"params": jax.random.PRNGKey(99)},
+        jnp.zeros((1, 64, 64, 3)), collect=True)["params"]
+    sep = jax.tree.map(lambda a: jnp.broadcast_to(a, (R,) + a.shape),
+                       sep)
+    p = jax.tree.map(jnp.asarray,
+                     {"critic": params["critic"],
+                      "masker": params["masker"]})
+    p_sep = {**p, "sepcrit": sep}
+    got = sp.eval_seeds(critic, masker, p_sep, jnp.asarray(xe), gt,
+                        thresh=0.5, batch=6)
+    x = jnp.asarray(xe, jnp.float32) / 255.0
+    for r in range(R):
+        _, em = critic.apply(
+            {"params": jax.tree.map(lambda a: a[r], sep)}, x,
+            collect=True, deterministic=True)
+        z = np.asarray(masker.apply(
+            {"params": _seed_slice(params["masker"], r)}, x,
+            em))[..., 0]
+        hard = z > 0.5
+        want = np.sum(hard & gt) / max(np.sum(hard | gt), 1)
+        np.testing.assert_allclose(got[r], want, rtol=1e-6)
+    # and it must differ from the critic-embeds eval (wrong features)
+    wrong = sp.eval_seeds(critic, masker, p, jnp.asarray(xe), gt,
+                          thresh=0.5, batch=6)
+    assert not np.allclose(got, wrong)
+
+
+def test_sweep_and_eval_handle_seed_sharded_params(setup):
+    """Regression for the GSPMD-bug defense (_unshard): params left
+    P('data')-sharded by a meshed training chunk must give the same
+    sweep preds and eval IoUs as local params — NOT the partitioner's
+    miscompiled forward."""
+    critic, _, _, x_all, y_all, _ = setup
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh(n_data=8)
+    masker = UnetDecoder()
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(8, dtype=np.uint32))
+    params = jax.tree.map(
+        np.asarray, sp.init_seed_params(critic, masker, keys))
+    sharded = jax.device_put(params, NamedSharding(mesh, P("data")))
+
+    local_preds = sp.seeded_sweep(
+        critic, jax.tree.map(jnp.asarray, params["critic"]), x_all, 32)
+    sharded_preds = sp.seeded_sweep(critic, sharded["critic"], x_all,
+                                    32)
+    np.testing.assert_allclose(sharded_preds, local_preds, rtol=1e-5,
+                               atol=1e-6)
+
+    rng = np.random.default_rng(7)
+    xe = jnp.asarray(rng.integers(0, 256, (8, 64, 64, 3),
+                                  dtype=np.uint8))
+    gt = rng.random((8, 64, 64)) > 0.5
+    p_local = jax.tree.map(jnp.asarray, {"critic": params["critic"],
+                                         "masker": params["masker"]})
+    p_shard = {"critic": sharded["critic"], "masker": sharded["masker"]}
+    np.testing.assert_allclose(
+        sp.eval_seeds(critic, masker, p_shard, xe, gt, thresh=0.5),
+        sp.eval_seeds(critic, masker, p_local, xe, gt, thresh=0.5),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        sp.ensemble_iou(critic, masker, p_shard, xe, gt, thresh=0.5),
+        sp.ensemble_iou(critic, masker, p_local, xe, gt, thresh=0.5),
+        rtol=1e-6)
+
+
+def test_build_models_respects_cfg():
+    """--chfak/--neck/--bf16 must flow into the trained architecture
+    (the checkpoint fingerprints encode chfak — a mismatch ships
+    unloadable checkpoints)."""
+    cfg = Config(chfak=2, neck=64, bf16=True, dropout=0.1).derive()
+    critic, masker = sp._build_models(cfg)
+    assert critic.chfak == 2 and critic.bottleneck == 64
+    assert critic.dropout == 0.1
+    assert masker.chfak == 2 and masker.bottleneck == 64
+    assert critic.compute_dtype == jnp.bfloat16
+    assert masker.compute_dtype == jnp.bfloat16
+
+
+def test_pop_runs_shared_parsing():
+    from cgs_tpu.sandbox.multirun import pop_runs
+    argv = ["--model", "m", "--runs", "7", "-train"]
+    assert pop_runs(argv) == 7
+    assert argv == ["--model", "m", "-train"]
+    assert pop_runs(["--model", "m"]) == 1
+    with pytest.raises(SystemExit):
+        pop_runs(["--model", "m", "--runs"])
