@@ -375,3 +375,61 @@ def test_reload_http_endpoint(server):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_reload_under_concurrent_traffic(tmp_path, rng):
+    """Hot-reload must be safe under load: hammer segment_bytes from
+    worker threads while repeatedly swapping checkpoints in — every
+    request must complete with a valid mask, no 5xx-class errors."""
+    import os
+
+    import jax
+
+    from cgs_tpu.train.checkpoints import (
+        checkpoint_paths, params_to_host, save_model_pt,
+    )
+
+    cfg = parse_args(["--infer-batch", "8", "--serve-wait-ms", "5",
+                      "--model", str(tmp_path / "run")])
+    os.makedirs(os.path.dirname(checkpoint_paths(cfg)["masker"]),
+                exist_ok=True)
+    srv = MaskServer(cfg)
+    try:
+        host = params_to_host(srv.pipe.params)
+        frames = rng.integers(0, 256, (24, 64, 64, 3), dtype=np.uint8)
+        errors = []
+        done = threading.Event()
+
+        def client(i):
+            try:
+                for k in range(4):
+                    png = srv.segment_bytes(_png(frames[(i + k) % 24]))
+                    img = Image.open(io.BytesIO(png))
+                    assert img.size == (64, 64)
+            except Exception as e:
+                errors.append(repr(e))
+
+        def reloader():
+            j = 0
+            while not done.is_set():
+                j += 1
+                new = jax.tree.map(lambda a: a + 0.01 * j,
+                                   host["masker"])
+                save_model_pt(new, "masker",
+                              checkpoint_paths(cfg)["masker"])
+                srv.reload_checkpoints()
+
+        rt = threading.Thread(target=reloader)
+        rt.start()
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        done.set()
+        rt.join()
+        assert not errors, errors
+        assert srv.reloads >= 1
+    finally:
+        srv.batcher.close()
