@@ -139,6 +139,9 @@ class Config:
     debug_nan: bool = False      # per-chunk NaN/Inf guards
     serve_wait_ms: float = 2.0   # serve.py micro-batch window
     orbax: bool = False          # full-train-state ckpt + resume
+    ensemble: int = 0            # serve/-process/-eval the mean mask
+                                 # of N per-seed runs {model}-seed{s}
+                                 # (multirun / seed_parallel layout)
 
     def derive(self) -> "Config":
         """Reproduce the reference's post-parse derivations
@@ -251,6 +254,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-orbax", action="store_true")
     p.add_argument("-crf_rescale", action="store_true")
     p.add_argument("--serve-wait-ms", type=float, default=2.0)
+    p.add_argument("--ensemble", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=64)
     return p
 

@@ -491,21 +491,37 @@ class Handler:
         """Cached per (salience,) config: repeated evals (e.g.
         -directeval's per-epoch loop) reuse the compiled program and
         only swap params — a retrace per epoch would pay the remote
-        compile every time."""
+        compile every time.
+
+        --ensemble N (framework extension): serve the MEAN of the N
+        per-seed runs `{model}-seed{s}` — the checkpoints live on
+        disk, so the stacked tree is loaded once and NOT refreshed
+        from self.params on reuse. Runs unmeshed: the vmapped-over-
+        weights forward under GSPMD sharding is the partitioner-bug
+        surface seed_parallel._seed_jit documents."""
+        ensemble = self.cfg.ensemble > 0
         pipe = self._pipes.get(salience)
         if pipe is not None:
-            pipe.update_params(self.params)
+            if not ensemble:
+                pipe.update_params(self.params)
             return pipe
         batch = self.cfg.infer_batch or (
             8192 if jax.default_backend() == "tpu" else 128)
+        params = self.params
+        mesh = self.mesh
+        if ensemble:
+            from cgs_tpu.train.checkpoints import load_seed_ensemble
+            params = load_seed_ensemble(self.cfg, self.cfg.ensemble)
+            mesh = None
         pipe = MaskPipeline(
-            self.critic, self.masker, self.params,
+            self.critic, self.masker, params,
             batch_size=batch,
             salience=salience,
             eval_mode=not self.cfg.noevalmode,   # main.py:900-909
-            separate=self.cfg.separate,
+            separate=self.cfg.separate and not ensemble,
             seed=self.cfg.seed,
-            mesh=self.mesh)
+            mesh=mesh,
+            ensemble=ensemble)
         self._pipes[salience] = pipe
         return pipe
 

@@ -49,7 +49,7 @@ class MaskPipeline:
                  salience: bool = False, eval_mode: bool = True,
                  separate: bool = False, seed: int = 0,
                  with_checksum: bool = False, mesh=None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, ensemble: bool = False):
         """mesh: optional ('data','model') jax Mesh — params are
         replicated and run() shards each batch over 'data', so
         multi-chip inference needs no other change (the committed
@@ -59,10 +59,18 @@ class MaskPipeline:
         (applied only when the computation lands on TPU hardware).
         Off by default on purpose: measured 0.76x the XLA path on v5e
         — XLA fuses the ingest into the first conv, the kernel forces
-        an f32 HBM round-trip (see ops/pallas_kernels.py)."""
+        an f32 HBM round-trip (see ops/pallas_kernels.py).
+
+        ensemble: params carry a leading seed axis (R models, e.g.
+        stacked from seed-parallel/multirun checkpoints); outputs are
+        the MEAN over the R per-seed forwards (pred, soft mask, and
+        saliency alike — the mean-mask ensemble measured at 0.962 IoU
+        with CRF in RESULTS.md). No upstream analogue (framework
+        extension)."""
         self.critic = critic
         self.masker = masker
         self.mesh = mesh
+        self.ensemble = bool(ensemble)
         platform = (mesh.devices.flat[0].platform if mesh is not None
                     else jax.default_backend())
         self._pallas_ingest = bool(use_pallas) and platform == "tpu"
@@ -94,6 +102,23 @@ class MaskPipeline:
         self._fn = jax.jit(self._make_forward())
 
     def _make_forward(self):
+        single = self._make_single_forward()
+        if not self.ensemble:
+            return single
+
+        def forward(params, u8, key):
+            # one key per seed; deterministic (eval_mode) forwards
+            # never consume them
+            n_seeds = jax.tree.leaves(params)[0].shape[0]
+            keys = jax.random.split(key, n_seeds)
+            outs = jax.vmap(lambda p, k: single(p, u8, k))(params, keys)
+            # mean over the seed axis; None (no saliency) passes
+            # through jax.tree.map untouched
+            return jax.tree.map(lambda a: jnp.mean(a, axis=0), outs)
+
+        return forward
+
+    def _make_single_forward(self):
         critic, masker = self.critic, self.masker
         deterministic = self.eval_mode
         salience = self.salience

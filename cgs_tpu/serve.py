@@ -239,20 +239,33 @@ class MaskServer:
                         dropout=cfg.dropout, compute_dtype=cdt)
         masker = UnetDecoder(bottleneck=cfg.neck, chfak=cfg.chfak,
                              compute_dtype=cdt)
-        params = self._load_params(cfg, critic, masker, load_model_pt)
+        ensemble = cfg.ensemble > 0
+        if ensemble:
+            # --ensemble N: serve the mean mask of the N per-seed
+            # runs {model}-seed{s} (same semantics as -process);
+            # members must exist — a silently random member would
+            # corrupt every served mask. Unmeshed (see
+            # handler._pipeline's GSPMD note).
+            from cgs_tpu.train.checkpoints import load_seed_ensemble
+            params = load_seed_ensemble(cfg, cfg.ensemble)
+            mesh = None
+        else:
+            params = self._load_params(cfg, critic, masker,
+                                       load_model_pt)
+            from cgs_tpu.parallel.mesh import local_mesh_or_none
+            # --data-parallel N: shard each micro-batch dispatch over
+            # a DP mesh (multi-chip serving; parallel/mesh.py) — the
+            # pipeline pads the batch to a multiple of the mesh width
+            mesh = local_mesh_or_none(cfg)
         batch = cfg.infer_batch or 256
-        # --data-parallel N: shard each micro-batch dispatch over a
-        # DP mesh (multi-chip serving; parallel/mesh.py) — the
-        # pipeline pads the batch to a multiple of the mesh width
-        from cgs_tpu.parallel.mesh import local_mesh_or_none
-        mesh = local_mesh_or_none(cfg)
         # separate=cfg.separate: a `-separate` run's masker was
         # trained on the sepcrit's embeds (main.py:946-947) — serving
         # must feed it the same features or /segment silently returns
         # different masks than the offline -process path
         pipe = MaskPipeline(critic, masker, params, batch_size=batch,
                             eval_mode=not cfg.noevalmode, seed=cfg.seed,
-                            separate=cfg.separate, mesh=mesh)
+                            separate=cfg.separate and not ensemble,
+                            mesh=mesh, ensemble=ensemble)
         batch = pipe.batch      # mesh-rounded
         # warm the (single, batch-shaped) compiled program before
         # accepting traffic — the batcher always dispatches full pads
@@ -319,6 +332,24 @@ class MaskServer:
         tree, the next dispatch picks up the new one. Returns
         {model name: loaded bool}."""
         from cgs_tpu.train.checkpoints import checkpoint_paths, load_model_pt
+
+        if self.cfg.ensemble > 0:
+            # all-or-nothing for ensembles: a partially refreshed
+            # member set would mix training generations in one mean
+            from cgs_tpu.train.checkpoints import load_seed_ensemble
+            with self._reload_lock:
+                try:
+                    params = load_seed_ensemble(self.cfg,
+                                                self.cfg.ensemble)
+                except FileNotFoundError as e:
+                    print(f"[cgs-tpu serve] ensemble reload skipped: "
+                          f"{e} — keeping served weights")
+                    return {"ensemble": False}
+                self.pipe.update_params(params)
+                self.reloads += 1
+                print(f"[cgs-tpu serve] reloaded ensemble of "
+                      f"{self.cfg.ensemble}")
+                return {"ensemble": True}
 
         with self._reload_lock:
             params = dict(self.pipe.params)

@@ -103,3 +103,38 @@ class OrbaxManager:
 
 def params_to_host(params):
     return jax.tree.map(lambda x: np.asarray(x), params)
+
+
+def load_seed_ensemble(cfg, n: int):
+    """Stacked {critic, masker} params from the n per-seed runs
+    `{model}-seed{0..n-1}` — the run-name convention both
+    sandbox/multirun.py (serial) and sandbox/seed_parallel.py
+    (save_checkpoints=True) write. Every leaf gains a leading (n,)
+    seed axis for MaskPipeline(ensemble=True). Raises
+    FileNotFoundError naming the first missing checkpoint (unlike
+    single-model loading, an ensemble with silently random members
+    would corrupt the mean mask). -separate ensembles are rejected:
+    sepcrit is never persisted (the reference quirk, main.py:1554-64).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    if getattr(cfg, "separate", False):
+        raise ValueError(
+            "--ensemble cannot serve -separate runs: the sepcrit the "
+            "masker was trained on is never persisted (reference "
+            "quirk, main.py:1554-1564)")
+    trees = {"critic": [], "masker": []}
+    for s in range(n):
+        cfg_s = dataclasses.replace(
+            cfg, model=f"{cfg.model}-seed{s}").derive()
+        paths = checkpoint_paths(cfg_s)
+        for name in trees:
+            t = load_model_pt(name, paths[name])
+            if t is None:
+                raise FileNotFoundError(
+                    f"ensemble member missing: {paths[name]}")
+            trees[name].append(t)
+    return {name: jax.tree.map(lambda *a: jnp.stack(a), *ts)
+            for name, ts in trees.items()}
