@@ -156,6 +156,17 @@ class Config:
             self.visbesteval = True
             self.crf = False
             self.salience = True
+        if self.ensemble and self.train:
+            # inference-only flag: during training the eval pipeline
+            # must score the weights BEING TRAINED, but --ensemble
+            # pins it to the on-disk {model}-seed{s} checkpoints —
+            # -directeval/-eval would silently report constant
+            # ensemble IoUs unrelated to the run
+            raise ValueError(
+                "--ensemble is inference-only (use with -process/"
+                "-eval/serve, not -train/-test): training evals would "
+                "silently score the stale on-disk ensemble instead of "
+                "the weights being trained")
         return self
 
     @property

@@ -96,6 +96,7 @@ class Handler:
         self.contrastive = None
         self._pipes: Dict = {}       # compiled inference pipelines
         self._eval_sets: Dict = {}   # folder -> (x, gt) eval data
+        self._ensemble_params = None  # --ensemble stacked tree cache
 
     # -- model/param management ------------------------------------
 
@@ -511,7 +512,17 @@ class Handler:
         mesh = self.mesh
         if ensemble:
             from cgs_tpu.train.checkpoints import load_seed_ensemble
-            params = load_seed_ensemble(self.cfg, self.cfg.ensemble)
+            if self._ensemble_params is None:  # once per Handler, not
+                # per (salience,) cache entry — 2N torch.loads each
+                self._ensemble_params = load_seed_ensemble(
+                    self.cfg, self.cfg.ensemble)
+            params = self._ensemble_params
+            if mesh is not None:
+                print("[cgs-tpu] --ensemble runs unmeshed: the "
+                      "vmapped-over-weights forward under GSPMD "
+                      "sharding is the partitioner-bug surface "
+                      "(sandbox/seed_parallel.py) — ignoring "
+                      "--data-parallel for this pipeline")
             mesh = None
         pipe = MaskPipeline(
             self.critic, self.masker, params,

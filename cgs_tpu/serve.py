@@ -246,8 +246,14 @@ class MaskServer:
             # members must exist — a silently random member would
             # corrupt every served mask. Unmeshed (see
             # handler._pipeline's GSPMD note).
+            from cgs_tpu.parallel.mesh import local_mesh_or_none
             from cgs_tpu.train.checkpoints import load_seed_ensemble
             params = load_seed_ensemble(cfg, cfg.ensemble)
+            if local_mesh_or_none(cfg) is not None:
+                print("[cgs-tpu serve] --ensemble runs unmeshed "
+                      "(GSPMD partitioner bug, see "
+                      "sandbox/seed_parallel.py) — ignoring "
+                      "--data-parallel")
             mesh = None
         else:
             params = self._load_params(cfg, critic, masker,
@@ -335,15 +341,19 @@ class MaskServer:
 
         if self.cfg.ensemble > 0:
             # all-or-nothing for ensembles: a partially refreshed
-            # member set would mix training generations in one mean
+            # member set would mix training generations in one mean.
+            # Exception (not just FileNotFoundError): a member .pt
+            # mid-overwrite can raise Unpickling/EOF errors — the
+            # reload contract is keep-served-weights, never 500
             from cgs_tpu.train.checkpoints import load_seed_ensemble
             with self._reload_lock:
                 try:
                     params = load_seed_ensemble(self.cfg,
                                                 self.cfg.ensemble)
-                except FileNotFoundError as e:
+                except Exception as e:
                     print(f"[cgs-tpu serve] ensemble reload skipped: "
-                          f"{e} — keeping served weights")
+                          f"{type(e).__name__}: {e} — keeping served "
+                          "weights")
                     return {"ensemble": False}
                 self.pipe.update_params(params)
                 self.reloads += 1

@@ -118,23 +118,28 @@ def load_seed_ensemble(cfg, n: int):
     """
     import dataclasses
 
-    import jax.numpy as jnp
-
     if getattr(cfg, "separate", False):
         raise ValueError(
             "--ensemble cannot serve -separate runs: the sepcrit the "
             "masker was trained on is never persisted (reference "
             "quirk, main.py:1554-1564)")
     trees = {"critic": [], "masker": []}
-    for s in range(n):
-        cfg_s = dataclasses.replace(
-            cfg, model=f"{cfg.model}-seed{s}").derive()
-        paths = checkpoint_paths(cfg_s)
-        for name in trees:
-            t = load_model_pt(name, paths[name])
-            if t is None:
-                raise FileNotFoundError(
-                    f"ensemble member missing: {paths[name]}")
-            trees[name].append(t)
-    return {name: jax.tree.map(lambda *a: jnp.stack(a), *ts)
+    # load + stack on the HOST: load_model_pt materializes on the
+    # process default backend (the pinned remote-TPU client here), so
+    # without the CPU default_device every member would ship through
+    # the tunnel, come back for np.stack, and the stacked tree would
+    # ship AGAIN via update_params' device_put
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        for s in range(n):
+            cfg_s = dataclasses.replace(
+                cfg, model=f"{cfg.model}-seed{s}").derive()
+            paths = checkpoint_paths(cfg_s)
+            for name in trees:
+                t = load_model_pt(name, paths[name])
+                if t is None:
+                    raise FileNotFoundError(
+                        f"ensemble member missing: {paths[name]}")
+                trees[name].append(t)
+    return {name: jax.tree.map(
+                lambda *a: np.stack([np.asarray(x) for x in a]), *ts)
             for name, ts in trees.items()}

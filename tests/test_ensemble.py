@@ -164,3 +164,48 @@ def test_serve_ensemble(tmp_path, monkeypatch, stacked, rng):
         np.testing.assert_allclose(keep, after, atol=1e-7)
     finally:
         srv.batcher.close()
+
+
+def test_ensemble_rejects_training_modes():
+    with pytest.raises(ValueError, match="inference-only"):
+        parse_args(["-train", "--ensemble", "2", "--model", "m"])
+    # -test with the (non-disableable) cload default leaves
+    # train=False — eval-only, so ensemble is legitimate there
+    cfg = parse_args(["-test", "--ensemble", "2", "--model", "m"])
+    assert cfg.eval and not cfg.train
+    assert parse_args(["-eval", "--ensemble", "2",
+                       "--model", "m"]).ensemble == 2
+
+
+def test_ensemble_reload_survives_corrupt_member(tmp_path, monkeypatch,
+                                                 stacked, rng):
+    """A member .pt caught mid-overwrite (corrupt zip) must keep the
+    served weights, not 500 (the non-ensemble path's contract)."""
+    from cgs_tpu.serve import MaskServer
+    from cgs_tpu.train.checkpoints import checkpoint_paths, save_model_pt
+
+    critic, masker, params = stacked
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_args(["--infer-batch", "8", "--serve-wait-ms", "5",
+                      "--dropout", "0", "--ensemble", "2",
+                      "--model", "m"])
+    for s in range(R):
+        cfg_s = dataclasses.replace(cfg, model=f"m-seed{s}").derive()
+        paths = checkpoint_paths(cfg_s)
+        take = lambda t: jax.tree.map(lambda a: np.asarray(a[s]), t)
+        save_model_pt(take(params["critic"]), "critic",
+                      paths["critic"])
+        save_model_pt(take(params["masker"]), "masker",
+                      paths["masker"])
+    srv = MaskServer(cfg)
+    try:
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        before = srv.batcher.submit(frame).mask
+        cfg0 = dataclasses.replace(cfg, model="m-seed0").derive()
+        with open(checkpoint_paths(cfg0)["masker"], "wb") as fp:
+            fp.write(b"truncated-mid-write")
+        assert srv.reload_checkpoints() == {"ensemble": False}
+        after = srv.batcher.submit(frame).mask
+        np.testing.assert_allclose(after, before, atol=1e-7)
+    finally:
+        srv.batcher.close()
