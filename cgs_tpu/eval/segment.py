@@ -27,22 +27,47 @@ VARIANT_COLUMNS = ["raw-mask", "thresholded-mask", "crf-mask",
                    "crf-saliency"]
 
 
+def _io_threads() -> int:
+    """Host-IO thread count for folder decode / PNG encode: PIL
+    releases the GIL inside libjpeg/libpng/zlib, so threads scale on
+    real deployment hosts (the reference decodes serially,
+    main.py:1126-1128). CGS_IO_THREADS overrides; <=1 means serial —
+    the default on a 1-CPU host."""
+    env = os.environ.get("CGS_IO_THREADS", "")
+    if env:
+        return max(1, int(env))
+    return min(16, os.cpu_count() or 1)
+
+
+def _ordered_map(fn, items):
+    """map() preserving order, threaded when _io_threads() > 1."""
+    n = _io_threads()
+    if n <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        return list(pool.map(fn, items))
+
+
 def load_folder(folder: str):
     """(X float (N,H,W,3) in [0,1], stem names) — PIL load of every
-    image file (main.py:1126-1128)."""
-    names = sorted(os.listdir(folder))
-    frames, stems = [], []
-    for name in names:
-        if "." not in name:
-            continue
+    image file (main.py:1126-1128); decode threads across files
+    (_io_threads), order and skip-on-error semantics unchanged."""
+    names = [n for n in sorted(os.listdir(folder)) if "." in n]
+
+    def decode(name):
         try:
             img = np.asarray(Image.open(os.path.join(folder, name)))
         except Exception:
-            continue
+            return None
         if img.ndim == 2:
             img = np.repeat(img[..., None], 3, axis=-1)
-        frames.append(img[..., :3])
-        stems.append(name[: name.rindex(".")])
+        return img[..., :3]
+
+    decoded = _ordered_map(decode, names)
+    frames = [d for d in decoded if d is not None]
+    stems = [name[: name.rindex(".")]
+             for name, d in zip(names, decoded) if d is not None]
     if not frames:
         raise RuntimeError(f"no readable images in {folder}")
     shapes = {f.shape for f in frames}
@@ -95,7 +120,9 @@ def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
     if not write:
         return {"preds": preds, "variants": all_m, "stems": stems}
     os.makedirs(out_dir, exist_ok=True)
-    for fidx, stem in enumerate(stems):
+
+    def write_frame(args):                # PNG encode threads too
+        fidx, stem = args
         rgb = (255 * x[fidx]).astype(np.uint8)
         mask_imgs = [
             (255 * np.clip(m[fidx], 0, 1)).astype(np.uint8)
@@ -110,6 +137,8 @@ def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
             for midx, m in enumerate(mask_rgb):
                 Image.fromarray(m).save(os.path.join(
                     out_dir, f"{stem}-{VARIANT_COLUMNS[midx]}.png"))
+
+    _ordered_map(write_frame, list(enumerate(stems)))
     return {"preds": preds, "variants": all_m, "stems": stems}
 
 

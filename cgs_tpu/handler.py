@@ -497,9 +497,12 @@ class Handler:
         --ensemble N (framework extension): serve the MEAN of the N
         per-seed runs `{model}-seed{s}` — the checkpoints live on
         disk, so the stacked tree is loaded once and NOT refreshed
-        from self.params on reuse. Runs unmeshed: the vmapped-over-
-        weights forward under GSPMD sharding is the partitioner-bug
-        surface seed_parallel._seed_jit documents."""
+        from self.params on reuse. On a mesh with N % n_data == 0 the
+        pipeline runs SEED-SHARDED (seed-per-device shard_map,
+        pipeline.py — full single-model throughput per chip, one
+        pmean); otherwise unmeshed, since letting GSPMD shard the
+        vmapped-over-weights forward is the partitioner-bug surface
+        seed_parallel._seed_jit documents."""
         ensemble = self.cfg.ensemble > 0
         pipe = self._pipes.get(salience)
         if pipe is not None:
@@ -517,13 +520,12 @@ class Handler:
                 self._ensemble_params = load_seed_ensemble(
                     self.cfg, self.cfg.ensemble)
             params = self._ensemble_params
-            if mesh is not None:
-                print("[cgs-tpu] --ensemble runs unmeshed: the "
-                      "vmapped-over-weights forward under GSPMD "
-                      "sharding is the partitioner-bug surface "
-                      "(sandbox/seed_parallel.py) — ignoring "
-                      "--data-parallel for this pipeline")
-            mesh = None
+            if mesh is not None and self.cfg.ensemble % mesh.shape["data"]:
+                print(f"[cgs-tpu] --ensemble {self.cfg.ensemble} does "
+                      f"not divide over the {mesh.shape['data']}-wide "
+                      "'data' axis — running unmeshed (seed-sharding "
+                      "needs N % n_data == 0)")
+                mesh = None
         pipe = MaskPipeline(
             self.critic, self.masker, params,
             batch_size=batch,

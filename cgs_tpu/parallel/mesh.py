@@ -82,6 +82,24 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, replicated_sharding(mesh))
 
 
+def seed_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-SEED-axis sharding over 'data' — the placement for
+    stacked per-seed param trees (ensemble inference, seed-parallel
+    training): seed-per-device, every other axis replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def seed_shard_tree(mesh: Mesh, tree):
+    """Place a stacked per-seed pytree (leading (R,) axis on every
+    leaf) seed-sharded over 'data'. Multi-process: route through host
+    numpy like replicate_tree (device_put of a host value is the
+    documented global-array construction)."""
+    if jax.process_count() > 1:
+        import numpy as _np
+        tree = jax.tree.map(_np.asarray, tree)
+    return jax.device_put(tree, seed_sharding(mesh))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch (or pytree of arrays) sharded over 'data'."""
     sh = data_sharding(mesh)

@@ -66,7 +66,18 @@ class MaskPipeline:
         the MEAN over the R per-seed forwards (pred, soft mask, and
         saliency alike — the mean-mask ensemble measured at 0.962 IoU
         with CRF in RESULTS.md). No upstream analogue (framework
-        extension)."""
+        extension).
+
+        ensemble + mesh composes as SEED-SHARDED inference: the seed
+        axis shards over 'data' (R % n_data == 0 required), the batch
+        replicates, and each device runs a plain local vmap over its
+        own members — shard_map, not GSPMD sharding annotations, so
+        the partitioner never sees the vmapped VALID conv it
+        miscompiles (sandbox/seed_parallel.py:_seed_jit). The only
+        collective is one pmean of the already-averaged outputs, so
+        per-chip cost == the single-model forward: an R-member
+        ensemble on R chips runs at full single-model throughput
+        (vs 1/R-ish vmapped on one chip, RESULTS.md)."""
         self.critic = critic
         self.masker = masker
         self.mesh = mesh
@@ -90,11 +101,14 @@ class MaskPipeline:
             from cgs_tpu.parallel.mesh import replicated_sharding
             self._key = jax.device_put(np.asarray(self._key),
                                        replicated_sharding(mesh))
-            if jax.process_count() > 1:
+            if jax.process_count() > 1 and not self.ensemble:
                 # outputs must come home to every host for the
                 # numpy post-processing (CRF, IoU, PNG/video) — a
                 # cross-process data-sharded array is not fetchable;
                 # replicating the outputs inserts the all-gather
+                # (the seed-sharded ensemble path needs no
+                # out_shardings: its shard_map out_specs are P()
+                # already)
                 self._fn = jax.jit(
                     self._make_forward(),
                     out_shardings=replicated_sharding(mesh))
@@ -106,7 +120,7 @@ class MaskPipeline:
         if not self.ensemble:
             return single
 
-        def forward(params, u8, key):
+        def vmapped(params, u8, key):
             # one key per seed; deterministic (eval_mode) forwards
             # never consume them
             n_seeds = jax.tree.leaves(params)[0].shape[0]
@@ -116,7 +130,39 @@ class MaskPipeline:
             # through jax.tree.map untouched
             return jax.tree.map(lambda a: jnp.mean(a, axis=0), outs)
 
-        return forward
+        if self.mesh is None:
+            return vmapped
+
+        # seed-sharded ensemble (seed-per-device): shard_map so each
+        # device vmaps only its local members and the GSPMD
+        # partitioner never touches the vmapped VALID conv it
+        # miscompiles (sandbox/seed_parallel.py:_seed_jit). The batch
+        # replicates; the single collective is the pmean of the
+        # local means (equal-sized shards => pmean of local means ==
+        # global mean).
+        try:
+            from jax import shard_map
+        except ImportError:                        # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local_forward(params, u8, key):
+            n_local = jax.tree.leaves(params)[0].shape[0]
+            # distinct dropout streams per shard (-noevalmode only;
+            # eval_mode never consumes them). Deviation vs the
+            # unmeshed vmap path's split(key, R) draw order —
+            # deterministic eval (the production default) is
+            # placement-invariant
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            keys = jax.random.split(key, n_local)
+            outs = jax.vmap(lambda p, k: single(p, u8, k))(params, keys)
+            outs = jax.tree.map(lambda a: jnp.mean(a, axis=0), outs)
+            return jax.tree.map(
+                lambda a: jax.lax.pmean(a, "data"), outs)
+
+        return shard_map(local_forward, mesh=self.mesh,
+                         in_specs=(P("data"), P(), P()),
+                         out_specs=P())
 
     def _make_single_forward(self):
         critic, masker = self.critic, self.masker
@@ -189,8 +235,20 @@ class MaskPipeline:
         re-upload the whole tree on EVERY dispatch (painful through
         remote-TPU links)."""
         if self.mesh is not None:
-            from cgs_tpu.parallel.mesh import replicate_tree
-            params = replicate_tree(self.mesh, params)
+            if self.ensemble:
+                from cgs_tpu.parallel.mesh import seed_shard_tree
+                r = jax.tree.leaves(params)[0].shape[0]
+                ndata = self.mesh.shape["data"]
+                if r % ndata:
+                    raise ValueError(
+                        f"seed-sharded ensemble needs R % n_data == 0 "
+                        f"(R={r} members over a {ndata}-wide 'data' "
+                        "axis) — drop the mesh to run the ensemble "
+                        "vmapped on one device")
+                params = seed_shard_tree(self.mesh, params)
+            else:
+                from cgs_tpu.parallel.mesh import replicate_tree
+                params = replicate_tree(self.mesh, params)
         else:
             params = jax.device_put(params)
         self.params = params
@@ -205,9 +263,15 @@ class MaskPipeline:
 
     def place_input(self, frames_u8: np.ndarray) -> Array:
         """Host frames -> device array with the pipeline's input
-        placement (data-sharded over the mesh when meshed, plain
-        device array otherwise). Starts the H2D copy asynchronously."""
+        placement (data-sharded over the mesh when meshed; REPLICATED
+        for the seed-sharded ensemble, whose parallel axis is the
+        seed, not the batch; plain device array otherwise). Starts the
+        H2D copy asynchronously."""
         if self.mesh is not None:
+            if self.ensemble:
+                from cgs_tpu.parallel.mesh import replicated_sharding
+                return jax.device_put(frames_u8,
+                                      replicated_sharding(self.mesh))
             return jax.device_put(frames_u8, self._data_sh)
         return jnp.asarray(frames_u8)
 

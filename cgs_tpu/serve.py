@@ -244,17 +244,22 @@ class MaskServer:
             # --ensemble N: serve the mean mask of the N per-seed
             # runs {model}-seed{s} (same semantics as -process);
             # members must exist — a silently random member would
-            # corrupt every served mask. Unmeshed (see
-            # handler._pipeline's GSPMD note).
+            # corrupt every served mask. On a mesh with
+            # N % n_data == 0 the pipeline runs seed-sharded
+            # (seed-per-device shard_map, pipeline.py); otherwise
+            # unmeshed (GSPMD would miscompile the vmapped forward,
+            # see sandbox/seed_parallel.py).
             from cgs_tpu.parallel.mesh import local_mesh_or_none
             from cgs_tpu.train.checkpoints import load_seed_ensemble
             params = load_seed_ensemble(cfg, cfg.ensemble)
-            if local_mesh_or_none(cfg) is not None:
-                print("[cgs-tpu serve] --ensemble runs unmeshed "
-                      "(GSPMD partitioner bug, see "
-                      "sandbox/seed_parallel.py) — ignoring "
-                      "--data-parallel")
-            mesh = None
+            mesh = local_mesh_or_none(cfg)
+            if mesh is not None and cfg.ensemble % mesh.shape["data"]:
+                print("[cgs-tpu serve] --ensemble "
+                      f"{cfg.ensemble} does not divide over the "
+                      f"{mesh.shape['data']}-wide 'data' axis — "
+                      "running unmeshed (seed-sharding needs "
+                      "N % n_data == 0)")
+                mesh = None
         else:
             params = self._load_params(cfg, critic, masker,
                                        load_model_pt)

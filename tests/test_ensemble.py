@@ -57,6 +57,40 @@ def test_ensemble_pipeline_is_mean_of_members(stacked, rng):
         rtol=1e-4, atol=1e-7)
 
 
+def test_seed_sharded_ensemble_matches_unmeshed(rng):
+    """ensemble + mesh => seed-per-device shard_map (pipeline.py):
+    R=4 members over a 2-wide 'data' axis (2 local seeds per device,
+    local vmap + one pmean) must reproduce the unmeshed vmapped
+    ensemble; non-divisible R is rejected loudly."""
+    from cgs_tpu.parallel.mesh import make_mesh
+
+    critic, masker = Critic(), UnetDecoder()
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(4, dtype=np.uint32))
+    params = jax.tree.map(
+        np.asarray, sp.init_seed_params(critic, masker, keys))
+    params = {"critic": params["critic"], "masker": params["masker"]}
+    frames = rng.integers(0, 256, (6, 64, 64, 3), dtype=np.uint8)
+
+    ref = MaskPipeline(critic, masker, params, batch_size=6,
+                       salience=True, ensemble=True).run(frames)
+    meshed = MaskPipeline(critic, masker, params, batch_size=6,
+                          salience=True, ensemble=True,
+                          mesh=make_mesh(n_data=2)).run(frames)
+    np.testing.assert_allclose(meshed.preds, ref.preds,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(meshed.masks, ref.masks,
+                               rtol=1e-6, atol=1e-7)
+    # input-grads of a random-init (sigmoid-saturated) critic are
+    # ~1e-6 — absolute f32 accumulation noise from the different conv
+    # grouping (4- vs 2-seed local vmap) dominates relative error
+    np.testing.assert_allclose(meshed.saliency, ref.saliency,
+                               atol=3e-5)
+
+    with pytest.raises(ValueError, match="R % n_data"):
+        MaskPipeline(critic, masker, params, batch_size=6,
+                     ensemble=True, mesh=make_mesh(n_data=3))
+
+
 def test_process_cli_with_ensemble(tmp_path, monkeypatch, stacked, rng):
     """-process --ensemble 2 loads {model}-seed{0,1} checkpoints and
     writes mean-mask outputs through the production Handler path."""
@@ -98,6 +132,19 @@ def test_process_cli_with_ensemble(tmp_path, monkeypatch, stacked, rng):
                      np.float32)[..., 0] / 255.0
     np.testing.assert_allclose(got, want, atol=1 / 255.0 + 1e-6)
     h.close()
+
+    # --data-parallel 2: the production path flips to the
+    # seed-sharded pipeline (seed-per-device) — identical outputs
+    cfg_dp = parse_args(base + ["--data-parallel", "2",
+                                "--mask-output-imgs", "out-dp"])
+    h2 = Handler(cfg_dp)
+    assert h2._pipeline(False).mesh is not None  # actually seed-sharded
+    h2.segment("imgs")
+    got_dp = np.asarray(Image.open("out-dp/f0-raw-mask.png"),
+                        np.float32)[..., 0] / 255.0
+    # float-assoc differences may flip an 8-bit quantization bucket
+    np.testing.assert_allclose(got_dp, got, atol=1 / 255.0 + 1e-6)
+    h2.close()
 
 
 def test_ensemble_rejects_separate(tmp_path, monkeypatch):

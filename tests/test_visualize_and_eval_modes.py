@@ -100,6 +100,44 @@ def test_process_with_crf_outputs(handler, workdir):
     assert len(out["variants"]) == 3  # raw, thresholded, crf
 
 
+def test_threaded_folder_io_matches_serial(handler, workdir,
+                                           monkeypatch):
+    """CGS_IO_THREADS > 1 (threaded PIL decode/encode in
+    eval/segment.py) must produce byte-identical outputs and the same
+    order/skip semantics as the serial path — incl. an unreadable
+    file (skipped) and an extensionless one (ignored)."""
+    from cgs_tpu.eval.segment import load_folder, segment_folder
+
+    src = workdir / "thrimgs"
+    src.mkdir(exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                     dtype=np.uint8)).save(
+            src / f"t{i}.png")
+    (src / "broken.png").write_bytes(b"not a png")
+    (src / "READYFLAG").write_bytes(b"ignored")
+
+    monkeypatch.setenv("CGS_IO_THREADS", "1")
+    x1, stems1 = load_folder(str(src))
+    monkeypatch.setenv("CGS_IO_THREADS", "4")
+    x4, stems4 = load_folder(str(src))
+    assert stems1 == stems4 == [f"t{i}" for i in range(5)]
+    np.testing.assert_array_equal(x1, x4)
+
+    pipe = handler._pipeline(False)
+    handler.cfg.concatenated = False
+    outs = {}
+    for n in ("1", "4"):
+        monkeypatch.setenv("CGS_IO_THREADS", n)
+        d = workdir / f"throut{n}"
+        segment_folder(handler.cfg, pipe, str(src), out_dir=str(d))
+        outs[n] = {f: (d / f).read_bytes()
+                   for f in sorted(os.listdir(d))}
+    assert outs["1"] == outs["4"]
+    assert any(f.endswith("-raw-mask.png") for f in outs["1"])
+
+
 def test_process_video_input(handler, workdir):
     """-process on a VIDEO file (extension): decodes, resizes to
     64x64, writes {stem}_with_mask.mp4 with the concatenated strip /
