@@ -17,6 +17,7 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <thread>
 #include <vector>
 
@@ -87,6 +88,37 @@ int cgs_densecrf(const uint8_t* img, const float* prob, int H, int W,
   normalize_rows(q, N, C);
 
   // ---- mean field -------------------------------------------------
+  // 2-class fast path (the production `-crf` shape, main.py:1230: the
+  // prob stack is [1-m, m]): by linearity of the lattice filter,
+  // filt(q1) == filt(ones) - filt(q0), so one vd=1 filter per lattice
+  // replaces the vd=2 filter — and after normalization the class-1
+  // message is simply (w1 + w2) - msg0. Halves the per-iteration
+  // filtering work; the generic path below is kept for C > 2 (and is
+  // forced by CGS_CRF_GENERIC=1 for the equivalence test).
+  const bool generic = std::getenv("CGS_CRF_GENERIC") != nullptr;
+  if (C == 2 && !generic) {
+    std::vector<float> q0(N), b0(N), s0(N);
+    const float wsum = w1 + w2;
+    for (int it = 0; it < iters; ++it) {
+      for (int i = 0; i < N; ++i) q0[i] = q[static_cast<size_t>(i) * 2];
+      lat_b.compute(q0.data(), b0.data(), 1);
+      lat_s.compute(q0.data(), s0.data(), 1);
+      for (int i = 0; i < N; ++i) {
+        float* qi = q.data() + static_cast<size_t>(i) * 2;
+        const float msg0 =
+            w1 * b0[i] * norm_b[i] + w2 * s0[i] * norm_s[i];
+        const float msg1 = wsum - msg0;
+        const float e0 = -unary[static_cast<size_t>(i) * 2] - msg1;
+        const float e1 = -unary[static_cast<size_t>(i) * 2 + 1] - msg0;
+        const float m = std::max(e0, e1);
+        const float x0 = std::exp(e0 - m), x1 = std::exp(e1 - m);
+        const float z = x0 + x1;
+        qi[0] = x0 / z;
+        qi[1] = x1 / z;
+      }
+    }
+    // fall through to the argmax below
+  } else {
   std::vector<float> mb(static_cast<size_t>(N) * C);
   std::vector<float> ms(static_cast<size_t>(N) * C);
   for (int it = 0; it < iters; ++it) {
@@ -117,6 +149,7 @@ int cgs_densecrf(const uint8_t* img, const float* prob, int H, int W,
       }
       for (int k = 0; k < C; ++k) qi[k] /= z;
     }
+  }
   }
 
   // ---- argmax -----------------------------------------------------

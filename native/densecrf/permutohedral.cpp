@@ -187,11 +187,13 @@ void Permutohedral::init(const float* features, int n, int d) {
   }
 }
 
-void Permutohedral::compute(const float* in, float* out, int vd) const {
+void Permutohedral::compute(const float* in, float* out, int vd) {
   const int d1 = d_ + 1;
-  // splat
-  std::vector<float> values(static_cast<size_t>(m_ + 2) * vd, 0.f);
-  std::vector<float> newvals(static_cast<size_t>(m_ + 2) * vd, 0.f);
+  // splat (scratch reused across calls; zeroed each time)
+  values_buf_.assign(static_cast<size_t>(m_ + 2) * vd, 0.f);
+  newvals_buf_.assign(static_cast<size_t>(m_ + 2) * vd, 0.f);
+  std::vector<float>& values = values_buf_;
+  std::vector<float>& newvals = newvals_buf_;
   for (int p = 0; p < n_; ++p) {
     for (int r = 0; r < d1; ++r) {
       int o = offsets_[static_cast<size_t>(p) * d1 + r];

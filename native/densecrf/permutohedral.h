@@ -20,8 +20,12 @@ class Permutohedral {
   // features: N x d (row-major), already divided by the kernel stds.
   void init(const float* features, int n, int d);
 
-  // in/out: N x vd (row-major). out may alias in.
-  void compute(const float* in, float* out, int vd) const;
+  // in/out: N x vd (row-major). out may alias in. NOT thread-safe
+  // per instance (reuses member scratch buffers across calls — the
+  // CRF's 20+ filter calls per frame otherwise malloc/free the
+  // lattice-value arrays every time); concurrent frames each own
+  // their instance (densecrf.cpp batch path), so this is safe there.
+  void compute(const float* in, float* out, int vd);
 
   int n_points() const { return n_; }
   int n_lattice() const { return static_cast<int>(offset_rank_.size()); }
@@ -39,6 +43,9 @@ class Permutohedral {
   // lattice index of every lattice point (or -1)
   std::vector<int> blur_plus_;    // m * (d+1)
   std::vector<int> blur_minus_;   // m * (d+1)
+  // compute() scratch (capacity persists across calls)
+  std::vector<float> values_buf_;
+  std::vector<float> newvals_buf_;
 };
 
 }  // namespace cgs

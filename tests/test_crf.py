@@ -38,6 +38,21 @@ def test_crf_denoises_mask(rng):
     assert _iou(refined, gt) > 0.95
 
 
+def test_crf_two_class_fast_path_matches_generic(rng, monkeypatch):
+    """The C==2 single-channel filtering shortcut (densecrf.cpp:
+    filt(q1) = filt(ones) - filt(q0) by linearity) must reproduce the
+    generic C-channel path's labels exactly."""
+    img, gt = _scene(rng)
+    imgs = np.stack([img] * 3)
+    masks = np.clip(
+        gt[None] * 0.7 + rng.normal(0, 0.25, (3,) + gt.shape),
+        0, 1).astype(np.float32)
+    fast = _crf(imgs, masks)
+    monkeypatch.setenv("CGS_CRF_GENERIC", "1")
+    generic = _crf(imgs, masks)
+    np.testing.assert_array_equal(fast, generic)
+
+
 def test_crf_confident_mask_stable(rng):
     """A clean confident mask must survive refinement ~unchanged."""
     img, gt = _scene(rng)
