@@ -35,7 +35,11 @@ def _io_threads() -> int:
     the default on a 1-CPU host."""
     env = os.environ.get("CGS_IO_THREADS", "")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            print(f"[cgs-tpu] ignoring non-integer CGS_IO_THREADS="
+                  f"{env!r}")
     return min(16, os.cpu_count() or 1)
 
 

@@ -520,12 +520,8 @@ class Handler:
                 self._ensemble_params = load_seed_ensemble(
                     self.cfg, self.cfg.ensemble)
             params = self._ensemble_params
-            if mesh is not None and self.cfg.ensemble % mesh.shape["data"]:
-                print(f"[cgs-tpu] --ensemble {self.cfg.ensemble} does "
-                      f"not divide over the {mesh.shape['data']}-wide "
-                      "'data' axis — running unmeshed (seed-sharding "
-                      "needs N % n_data == 0)")
-                mesh = None
+            from cgs_tpu.parallel.mesh import ensemble_mesh_or_none
+            mesh = ensemble_mesh_or_none(mesh, self.cfg.ensemble)
         pipe = MaskPipeline(
             self.critic, self.masker, params,
             batch_size=batch,

@@ -100,6 +100,25 @@ def seed_shard_tree(mesh: Mesh, tree):
     return jax.device_put(tree, seed_sharding(mesh))
 
 
+def ensemble_mesh_or_none(mesh: Optional[Mesh], r: int,
+                          who: str = "cgs-tpu") -> Optional[Mesh]:
+    """THE eligibility rule for seed-sharded ensemble inference:
+    returns `mesh` when the R members divide evenly over the 'data'
+    axis, else warns once and returns None (callers fall back to the
+    single-device vmapped ensemble). One site so handler/serve/
+    pipeline cannot drift (MaskPipeline.update_params keeps the hard
+    ValueError as the last line of defense)."""
+    if mesh is None:
+        return None
+    ndata = mesh.shape["data"]
+    if r % ndata:
+        print(f"[{who}] --ensemble {r} does not divide over the "
+              f"{ndata}-wide 'data' axis — running unmeshed "
+              "(seed-sharding needs N % n_data == 0)")
+        return None
+    return mesh
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch (or pytree of arrays) sharded over 'data'."""
     sh = data_sharding(mesh)

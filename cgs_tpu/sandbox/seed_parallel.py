@@ -44,7 +44,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from cgs_tpu.train.loops import critic_chunk_fn, masker_chunk_fn
 from cgs_tpu.train.losses import ingest
@@ -366,8 +366,8 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
     params = init_seed_params(critic, masker, keys,
                               separate=cfg.separate)
     if repl is not None:
-        keys = jax.device_put(np.asarray(keys),
-                              NamedSharding(mesh, P("data")))
+        from cgs_tpu.parallel.mesh import seed_sharding
+        keys = jax.device_put(np.asarray(keys), seed_sharding(mesh))
 
     def seed_keys(tag: int) -> jax.Array:
         return jax.vmap(lambda k: jax.random.fold_in(k, tag))(keys)

@@ -249,17 +249,13 @@ class MaskServer:
             # (seed-per-device shard_map, pipeline.py); otherwise
             # unmeshed (GSPMD would miscompile the vmapped forward,
             # see sandbox/seed_parallel.py).
-            from cgs_tpu.parallel.mesh import local_mesh_or_none
+            from cgs_tpu.parallel.mesh import (
+                ensemble_mesh_or_none, local_mesh_or_none,
+            )
             from cgs_tpu.train.checkpoints import load_seed_ensemble
             params = load_seed_ensemble(cfg, cfg.ensemble)
-            mesh = local_mesh_or_none(cfg)
-            if mesh is not None and cfg.ensemble % mesh.shape["data"]:
-                print("[cgs-tpu serve] --ensemble "
-                      f"{cfg.ensemble} does not divide over the "
-                      f"{mesh.shape['data']}-wide 'data' axis — "
-                      "running unmeshed (seed-sharding needs "
-                      "N % n_data == 0)")
-                mesh = None
+            mesh = ensemble_mesh_or_none(local_mesh_or_none(cfg),
+                                         cfg.ensemble, "cgs-tpu serve")
         else:
             params = self._load_params(cfg, critic, masker,
                                        load_model_pt)

@@ -95,7 +95,8 @@ int cgs_densecrf(const uint8_t* img, const float* prob, int H, int W,
   // message is simply (w1 + w2) - msg0. Halves the per-iteration
   // filtering work; the generic path below is kept for C > 2 (and is
   // forced by CGS_CRF_GENERIC=1 for the equivalence test).
-  const bool generic = std::getenv("CGS_CRF_GENERIC") != nullptr;
+  const char* genv = std::getenv("CGS_CRF_GENERIC");
+  const bool generic = genv && genv[0] && !(genv[0] == '0' && !genv[1]);
   if (C == 2 && !generic) {
     std::vector<float> q0(N), b0(N), s0(N);
     const float wsum = w1 + w2;

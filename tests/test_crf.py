@@ -41,7 +41,11 @@ def test_crf_denoises_mask(rng):
 def test_crf_two_class_fast_path_matches_generic(rng, monkeypatch):
     """The C==2 single-channel filtering shortcut (densecrf.cpp:
     filt(q1) = filt(ones) - filt(q0) by linearity) must reproduce the
-    generic C-channel path's labels exactly."""
+    generic C-channel path's labels. The identity is exact only in
+    real arithmetic — float rounding (q0+q1 == 1 to ~1 ulp, FP
+    contraction under -march=native) can flip pixels whose converged
+    posterior sits exactly on the decision boundary — so allow a
+    vanishing fraction rather than bit-equality."""
     img, gt = _scene(rng)
     imgs = np.stack([img] * 3)
     masks = np.clip(
@@ -50,7 +54,13 @@ def test_crf_two_class_fast_path_matches_generic(rng, monkeypatch):
     fast = _crf(imgs, masks)
     monkeypatch.setenv("CGS_CRF_GENERIC", "1")
     generic = _crf(imgs, masks)
-    np.testing.assert_array_equal(fast, generic)
+    assert (fast != generic).mean() <= 1e-3
+
+    # CGS_CRF_GENERIC=0 / empty must NOT force the generic path: the
+    # fast path is deterministic, so a third run flag-off matches the
+    # first bit-for-bit
+    monkeypatch.setenv("CGS_CRF_GENERIC", "0")
+    np.testing.assert_array_equal(_crf(imgs, masks), fast)
 
 
 def test_crf_confident_mask_stable(rng):
