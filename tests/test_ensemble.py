@@ -147,6 +147,53 @@ def test_process_cli_with_ensemble(tmp_path, monkeypatch, stacked, rng):
     h2.close()
 
 
+def test_ensemble_mesh_eligibility(capsys):
+    """ensemble_mesh_or_none: the one-site seed-sharding rule —
+    divisible R keeps the mesh, non-divisible warns and drops it."""
+    from cgs_tpu.parallel.mesh import ensemble_mesh_or_none, make_mesh
+
+    mesh = make_mesh(n_data=2)
+    assert ensemble_mesh_or_none(None, 4) is None
+    assert ensemble_mesh_or_none(mesh, 4) is mesh
+    assert ensemble_mesh_or_none(mesh, 3) is None
+    assert "N % n_data" in capsys.readouterr().out
+
+
+def test_serve_seed_sharded_ensemble(tmp_path, monkeypatch, stacked,
+                                     rng):
+    """--ensemble 2 --data-parallel 2 serving: the batcher dispatches
+    through the seed-sharded pipeline and serves the same mask as the
+    unmeshed ensemble."""
+    from cgs_tpu.serve import MaskServer
+    from cgs_tpu.train.checkpoints import checkpoint_paths, save_model_pt
+
+    critic, masker, params = stacked
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_args(["--infer-batch", "8", "--serve-wait-ms", "5",
+                      "--dropout", "0", "--ensemble", "2",
+                      "--data-parallel", "2", "--model", "m"])
+    for s in range(R):
+        cfg_s = dataclasses.replace(cfg, model=f"m-seed{s}").derive()
+        paths = checkpoint_paths(cfg_s)
+        take = lambda t: jax.tree.map(lambda a: np.asarray(a[s]), t)
+        save_model_pt(take(params["critic"]), "critic",
+                      paths["critic"])
+        save_model_pt(take(params["masker"]), "masker",
+                      paths["masker"])
+    srv = MaskServer(cfg)
+    try:
+        assert srv.pipe.mesh is not None and srv.pipe.ensemble
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        served = srv.batcher.submit(frame).mask
+        epipe = MaskPipeline(critic, masker,
+                             jax.tree.map(jnp.asarray, params),
+                             batch_size=8, ensemble=True)
+        want = epipe.run(frame[None]).masks[0, :, :, 0]
+        np.testing.assert_allclose(served, want, atol=1e-6)
+    finally:
+        srv.batcher.close()
+
+
 def test_ensemble_rejects_separate(tmp_path, monkeypatch):
     from cgs_tpu.train.checkpoints import load_seed_ensemble
 
