@@ -90,6 +90,17 @@ def test_seed_sharded_ensemble_matches_unmeshed(rng):
         MaskPipeline(critic, masker, params, batch_size=6,
                      ensemble=True, mesh=make_mesh(n_data=3))
 
+    # multi-chunk host path: batch 4 over 6 frames -> 2 dispatches,
+    # the second padded; replicated input placement + unpadding must
+    # compose with the seed-sharded forward
+    chunked = MaskPipeline(critic, masker, params, batch_size=4,
+                           salience=True, ensemble=True,
+                           mesh=make_mesh(n_data=2)).run(frames)
+    np.testing.assert_allclose(chunked.masks, ref.masks,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(chunked.preds, ref.preds,
+                               rtol=1e-6, atol=1e-7)
+
 
 def test_process_cli_with_ensemble(tmp_path, monkeypatch, stacked, rng):
     """-process --ensemble 2 loads {model}-seed{0,1} checkpoints and
