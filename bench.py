@@ -93,10 +93,25 @@ def main():
     )(jax.random.PRNGKey(0))
 
     # compile + warmup (first executions after compile pay a one-time
-    # slow path on the tunneled runtime)
-    for _ in range(2):
-        *_, ck = pipe.run_device(frames)
-        float(ck)
+    # slow path on the tunneled runtime). One retry after a pause: the
+    # tunneled backend occasionally throws a transient
+    # FAILED_PRECONDITION on the first dispatch after another process
+    # released the chip — a one-shot hiccup must not cost the round's
+    # recorded number
+    for attempt in range(2):
+        try:
+            for _ in range(2):
+                *_, ck = pipe.run_device(frames)
+                float(ck)
+            break
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(15)
+            frames = jax.jit(
+                lambda k: jax.random.randint(k, (batch, 64, 64, 3),
+                                             0, 256, dtype=jnp.uint8)
+            )(jax.random.PRNGKey(0))
 
     # median of 3 groups of 64 async-dispatched iterations, synced by
     # a single checksum readback per group. 64, not 8: each group pays
