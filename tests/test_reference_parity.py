@@ -1,0 +1,471 @@
+"""Parity pinned against the ACTUAL reference source (VERDICT r3 #1).
+
+test_torch_parity.py / test_training_parity.py compare against
+hand-transcribed torch replicas of nets.py/main.py — a transcription
+error there would be shared by replica and port and never caught. This
+module imports /root/reference itself (tests/reference_loader.py
+documents the environment shims) and asserts:
+
+  * forward + embeds parity of our flax modules vs the shipped
+    NewCritic / UnetDecoder (nets.py:160-212, 452-523);
+  * the replicas used by the other parity tests match the shipped
+    modules key-for-key and output-for-output;
+  * the shipped masker-phase loss math (main.py:314-575), executed by
+    the reference's own `segmentation_training` on injected synthetic
+    batches at dropout=0/shift=0, produces the same loss terms and the
+    same backward gradients as our production loss builder — across
+    the live/frozen/noinject/L2-nonstatic/separate flag variants;
+  * 20 reference optimizer steps and 20 steps of our scanned chunk
+    trainer stay locked per loss term and end at the same parameters;
+  * a masker .pt written by the reference's own save_models loads
+    through our interop bit-exactly.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from cgs_tpu.core.config import Config
+from cgs_tpu.models.critic import Critic
+from cgs_tpu.models.decoder import UnetDecoder
+from cgs_tpu.models.torch_interop import (
+    CRITIC_KEYMAP, DECODER_KEYMAP, flax_to_torch_state, load_pt_masker,
+    torch_state_to_flax,
+)
+from cgs_tpu.train.losses import build_masker_loss
+from cgs_tpu.train.loops import masker_chunk_fn
+from cgs_tpu.train.steps import (
+    init_train_state, make_optimizer, trained_param_keys,
+)
+from tests.reference_loader import load_reference, reference_namespace
+
+K = 32  # the reference's hard-coded contrastive half-batch (main.py:309)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    nets, main = load_reference()
+    return nets, main
+
+
+def _state_np(module):
+    return {k: v.numpy() for k, v in module.state_dict().items()}
+
+
+# ---------------------------------------------------------------------
+# forward parity vs the shipped modules
+# ---------------------------------------------------------------------
+
+def test_reference_critic_forward_and_embeds_parity(ref, rng):
+    nets, _ = ref
+    torch.manual_seed(0)
+    rc = nets.NewCritic(dropout=0.3).eval()
+    frames = rng.random((4, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        tpred, tembeds = rc(torch.from_numpy(frames.transpose(0, 3, 1, 2)),
+                            collect=True)
+
+    params = torch_state_to_flax(_state_np(rc), CRITIC_KEYMAP)
+    pred, embeds = Critic().apply({"params": params},
+                                  jnp.asarray(frames), collect=True)
+    np.testing.assert_allclose(np.asarray(pred), tpred.numpy(), atol=1e-5)
+    # embeds list: same count, same order, same shapes (the skip taps
+    # the masker consumes, nets.py:197-206)
+    assert len(embeds) == len(tembeds) == 5
+    for i, (fe, te) in enumerate(zip(embeds, tembeds)):
+        te = te.numpy().transpose(0, 2, 3, 1)
+        assert fe.shape == te.shape, f"embed {i}"
+        np.testing.assert_allclose(np.asarray(fe), te, atol=1e-5,
+                                   err_msg=f"embed {i}")
+
+
+def test_reference_masker_forward_parity(ref, rng):
+    nets, _ = ref
+    torch.manual_seed(1)
+    rc = nets.NewCritic(dropout=0.3).eval()
+    rd = nets.UnetDecoder().eval()
+    frames = rng.random((4, 64, 64, 3)).astype(np.float32)
+    xt = torch.from_numpy(frames.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        _, tembeds = rc(xt, collect=True)
+        tmask = rd(xt, tembeds)
+
+    cparams = torch_state_to_flax(_state_np(rc), CRITIC_KEYMAP)
+    dparams = torch_state_to_flax(_state_np(rd), DECODER_KEYMAP)
+    x = jnp.asarray(frames)
+    _, embeds = Critic().apply({"params": cparams}, x, collect=True)
+    mask = UnetDecoder().apply({"params": dparams}, x, embeds)
+    np.testing.assert_allclose(
+        np.asarray(mask), tmask.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+
+def test_replicas_match_reference_source(ref, rng):
+    """Pin the hand-built replicas of test_torch_parity.py against the
+    shipped classes: identical state_dict grammar AND identical outputs
+    under the reference's weights — so a replica transcription error
+    can no longer hide."""
+    from tests.test_torch_parity import TorchCritic, TorchDecoder
+    nets, _ = ref
+    torch.manual_seed(2)
+    rc = nets.NewCritic(dropout=0.3).eval()
+    rd = nets.UnetDecoder().eval()
+    pc = TorchCritic(dropout=0.3).eval()
+    pd = TorchDecoder().eval()
+
+    for real, replica in ((rc, pc), (rd, pd)):
+        rs, ps = real.state_dict(), replica.state_dict()
+        assert sorted(rs) == sorted(ps)
+        for k in rs:
+            assert rs[k].shape == ps[k].shape, k
+    pc.load_state_dict(rc.state_dict())
+    pd.load_state_dict(rd.state_dict())
+
+    frames = rng.random((4, 64, 64, 3)).astype(np.float32)
+    xt = torch.from_numpy(frames.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        rpred, rembeds = rc(xt, collect=True)
+        ppred, pembeds = pc(xt)
+        rmask = rd(xt, rembeds)
+        pmask = pd(xt, pembeds)
+    np.testing.assert_array_equal(rpred.numpy(), ppred.numpy())
+    for re_, pe in zip(rembeds, pembeds):
+        np.testing.assert_array_equal(re_.numpy(), pe.numpy())
+    np.testing.assert_array_equal(rmask.numpy(), pmask.numpy())
+
+
+# ---------------------------------------------------------------------
+# driving the reference's own training code
+# ---------------------------------------------------------------------
+
+def _ref_config(**overrides) -> Config:
+    """dropout=0 (dropout RNG is framework-specific; parity is defined
+    there, SURVEY.md §7.3) and shift=0 (shift draws likewise)."""
+    return Config(dropout=0.0, shift=0, **overrides).derive()
+
+
+def _make_handler(ref_main, cfg, monkeypatch, tmp_path):
+    """Construct the reference Handler in a tmp cwd (it builds relative
+    paths, main.py:93-102) with the absent font patched to PIL's
+    default (main.py:70 hard-codes a file the repo does not ship)."""
+    monkeypatch.chdir(tmp_path)
+    default_font = ref_main.ImageFont.load_default()  # before patching:
+    # load_default() itself routes through truetype()
+    monkeypatch.setattr(ref_main.ImageFont, "truetype",
+                        lambda *a, **k: default_font)
+    return ref_main.Handler(reference_namespace(cfg))
+
+
+class _FRecorder:
+    """Wrap the reference's `F` (torch.nn.functional) to record every
+    mse/l1 loss value while delegating the math untouched — the
+    reference logs loss terms only via prints (main.py:455-460)."""
+
+    def __init__(self, real):
+        self._real = real
+        self.mse = []
+        self.l1 = []
+
+    def mse_loss(self, *a, **kw):
+        out = self._real.mse_loss(*a, **kw)
+        self.mse.append(float(out.detach()))
+        return out
+
+    def l1_loss(self, *a, **kw):
+        out = self._real.l1_loss(*a, **kw)
+        self.l1.append(float(out.detach()))
+        return out
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def _synthetic_banks(rng, n_pos, n_neg):
+    xpos = rng.integers(0, 256, (n_pos, 64, 64, 3), dtype=np.uint8)
+    xneg = rng.integers(0, 256, (n_neg, 64, 64, 3), dtype=np.uint8)
+    # (rows, N) layout: Ypos is indexed [rewidx, Hidx] (main.py:345)
+    ypos = rng.random((2, n_pos)).astype(np.float32) * 0.3 + 0.7
+    yneg = rng.random((2, n_neg)).astype(np.float32) * 0.3
+    return xpos, ypos, xneg, yneg
+
+
+def _inject_contrastive_data(monkeypatch, handler, banks, triples):
+    """Replace extract_contrastive_data (data prep, not loss math) with
+    a setter of the exact attributes it establishes (main.py:283-312),
+    plus a deterministic index sampler."""
+    xpos, ypos, xneg, yneg = banks
+    it = iter(triples)
+
+    def fake_extract():
+        handler.Xpos, handler.Ypos = xpos, ypos
+        handler.Xneg, handler.Yneg = xneg, yneg
+        handler.contrastive_batchsize = K
+        handler.get_contrastive_idxs = lambda: next(it)
+
+    monkeypatch.setattr(handler, "extract_contrastive_data", fake_extract)
+
+
+def _jax_batch(banks, triple, rewidx):
+    """Assemble (a_u8, y, b_u8) exactly as main.py:344-361 does."""
+    xpos, ypos, xneg, yneg = banks
+    hidx, lidx, cidx = triple
+    a = np.concatenate([xpos[hidx], xneg[lidx]], axis=0)
+    y = np.concatenate([ypos[rewidx, hidx], yneg[rewidx, lidx]], axis=0)
+    b = xneg[cidx]
+    return a, y, b
+
+
+def _ref_loss_rows(cfg, frec, n_steps):
+    """Reconstruct (S, 4) [replace, inject, norm, critic] rows from the
+    recorded F calls. Call order per step (main.py:378-429):
+    live-critic mse?, replace mse, inject mse?, then L1 via l1_loss /
+    L2 via mse_loss. Values are scaled exactly as our aux logs them
+    (norm includes the L1/L2 factor; critic is the unscaled term)."""
+    per_step = (1 if cfg.live else 0) + 1 + (1 if cfg.inject else 0) + (
+        1 if cfg.L2 else 0)
+    assert len(frec.mse) == n_steps * per_step
+    if cfg.L1:
+        assert len(frec.l1) == n_steps
+    rows = np.zeros((n_steps, 4), dtype=np.float64)
+    for s in range(n_steps):
+        it = iter(frec.mse[s * per_step:(s + 1) * per_step])
+        if cfg.live:
+            rows[s, 3] = next(it)
+        rows[s, 0] = next(it)
+        if cfg.inject:
+            rows[s, 1] = next(it)
+        if cfg.L1:
+            rows[s, 2] = cfg.L1 * frec.l1[s]
+        if cfg.L2:
+            rows[s, 2] = cfg.L2 * next(it)
+    return rows
+
+
+VARIANTS = {
+    "default": {},                                   # live+inject+L1
+    "frozen": {"frozen": True},                      # main.py:330-334
+    "noinject": {"noinject": True},                  # main.py:405
+    "l2_nonstatic": {"staticnorm": False, "L1": 0.0, "L2": 0.3},
+    "separate": {"separate": True},                  # main.py:389-390
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_reference_masker_grads_match(ref, rng, monkeypatch, tmp_path,
+                                      variant):
+    _, ref_main = ref
+    cfg = _ref_config(**VARIANTS[variant])
+    banks = _synthetic_banks(rng, n_pos=K, n_neg=4 * K)
+    triple = (np.arange(K), np.arange(K)[::-1].copy(),
+              np.arange(2 * K))
+
+    h = _make_handler(ref_main, cfg, monkeypatch, tmp_path)
+    _inject_contrastive_data(monkeypatch, h, banks, [triple])
+    frec = _FRecorder(ref_main.F)
+    monkeypatch.setattr(ref_main, "F", frec)
+
+    # capture pre-step weights (segmentation_training mutates in place)
+    cparams = torch_state_to_flax(_state_np(h.critic), CRITIC_KEYMAP)
+    mparams = torch_state_to_flax(_state_np(h.masker), DECODER_KEYMAP)
+    sparams = (torch_state_to_flax(_state_np(h.sepcrit), CRITIC_KEYMAP)
+               if cfg.separate else None)
+
+    h.segmentation_training()  # 1 batch -> 1 step; grads persist
+
+    def torch_grads(module):
+        # None <=> jax zeros: sepcrit's crit head gets no grad — its
+        # pred is discarded (`_, embeds = sepcrit(A)`, main.py:390)
+        return {k: (p.grad.numpy() if p.grad is not None
+                    else np.zeros(tuple(p.shape), np.float32))
+                for k, p in zip(module.state_dict().keys(),
+                                module.parameters())}
+
+    # ---- our side ----
+    a_u8, y, b_u8 = _jax_batch(banks, triple, cfg.rewidx)
+    params = {"critic": cparams, "masker": mparams}
+    if cfg.separate:
+        params["sepcrit"] = sparams
+    keys = trained_param_keys(cfg)
+    trainable = {k: params[k] for k in keys}
+    constant = {k: v for k, v in params.items() if k not in keys}
+    loss_fn = build_masker_loss(cfg, Critic(dropout=0.0), UnetDecoder())
+    (jloss, aux), jgrads = jax.value_and_grad(loss_fn, has_aux=True)(
+        trainable, constant,
+        jnp.asarray(a_u8, jnp.float32) / 255.0, jnp.asarray(y),
+        jnp.asarray(b_u8, jnp.float32) / 255.0, jax.random.PRNGKey(0))
+
+    # total loss identical (reconstruct the reference total from the
+    # recorded terms exactly as main.py composes it)
+    # atol floors the near-zero merge terms: at fresh random weights
+    # replace/inject MSEs are O(1e-9) where f32 accumulation noise
+    # dominates any rtol
+    rows = _ref_loss_rows(cfg, frec, 1)[0]
+    ref_total = rows[0] + rows[1] + rows[2] + cfg.lfak * rows[3]
+    np.testing.assert_allclose(float(jloss), ref_total, rtol=3e-5,
+                               atol=1e-8)
+    np.testing.assert_allclose(float(aux["replace"]), rows[0],
+                               rtol=3e-5, atol=1e-8)
+    if cfg.inject:
+        np.testing.assert_allclose(float(aux["inject"]), rows[1],
+                                   rtol=3e-5, atol=1e-8)
+    np.testing.assert_allclose(float(aux["norm"]), rows[2], rtol=3e-5,
+                               atol=1e-8)
+    if cfg.live:
+        np.testing.assert_allclose(float(aux["critic"]), rows[3],
+                                   rtol=3e-5, atol=1e-8)
+
+    # gradients pointwise. Tolerances calibrated for THIS comparison:
+    # the reference's own loop forces f32 (`.float()` at main.py:360),
+    # and at the full contrastive batch (2K=64, vs 6 in the replica
+    # test) cross-framework f32 conv accumulation reaches ~4e-5 abs /
+    # ~2e-3 rel on the worst bias-grad entries (measured; forwards
+    # agree to 6e-8). A transcription error — wrong pad, missing
+    # activation, misplaced detach — shifts grads by O(1) relative and
+    # is still caught two orders of magnitude away.
+    checks = [("masker", h.masker, DECODER_KEYMAP)]
+    if cfg.live:
+        checks.append(("critic", h.critic, CRITIC_KEYMAP))
+    if cfg.separate:
+        checks.append(("sepcrit", h.sepcrit, CRITIC_KEYMAP))
+    for name, module, keymap in checks:
+        tg = torch_grads(module)
+        jg = flax_to_torch_state(
+            jax.tree.map(np.asarray, jgrads[name]), keymap)
+        for k in tg:
+            np.testing.assert_allclose(
+                jg[k], tg[k], atol=1e-4, rtol=5e-3,
+                err_msg=f"{variant}: {name} grad {k}")
+            # and the per-tensor direction: relative Frobenius error
+            rel = (np.linalg.norm(jg[k] - tg[k])
+                   / (np.linalg.norm(tg[k]) + 1e-12))
+            assert rel < 5e-3, (
+                f"{variant}: {name} grad {k} rel-norm {rel:.2e}")
+    if not cfg.live:  # frozen: we must NOT train the critic
+        assert "critic" not in jgrads
+
+
+@pytest.mark.slow
+def test_reference_masker_trajectory_and_final_params(
+        ref, rng, monkeypatch, tmp_path):
+    """20 reference optimizer steps vs 20 steps of our scanned chunk
+    trainer on identical weights/batches: per-step loss terms stay
+    locked and the final parameters agree (VERDICT r3 #1 'Done'
+    criterion). Tolerances follow test_training_parity.py's analysis:
+    Adam amplifies ~1e-7 grad noise on near-zero entries, so later
+    steps are compared statistically, params with an Adam-noise bound."""
+    _, ref_main = ref
+    cfg = _ref_config()
+    n_steps = 20
+    banks = _synthetic_banks(rng, n_pos=K * n_steps, n_neg=6 * K)
+    sample = np.random.default_rng(42)
+    triples = [(sample.integers(0, K * n_steps, K),
+                sample.integers(0, 6 * K, K),
+                sample.integers(0, 6 * K, 2 * K))
+               for _ in range(n_steps)]
+
+    h = _make_handler(ref_main, cfg, monkeypatch, tmp_path)
+    _inject_contrastive_data(monkeypatch, h, banks, list(triples))
+    frec = _FRecorder(ref_main.F)
+    monkeypatch.setattr(ref_main, "F", frec)
+    cparams = torch_state_to_flax(_state_np(h.critic), CRITIC_KEYMAP)
+    mparams = torch_state_to_flax(_state_np(h.masker), DECODER_KEYMAP)
+
+    h.segmentation_training()
+    ref_rows = _ref_loss_rows(cfg, frec, n_steps)
+
+    # ---- our side: the production scanned-chunk trainer ----
+    critic, masker = Critic(dropout=0.0), UnetDecoder()
+    tx = make_optimizer()
+    keys = trained_param_keys(cfg)
+    state = init_train_state({"critic": cparams, "masker": mparams},
+                             tx, trained_keys=keys)
+    chunk = jax.jit(masker_chunk_fn(cfg, critic, masker, tx))
+    xpos, ypos, xneg, yneg = banks
+    hidx = jnp.asarray(np.stack([t[0] for t in triples]))
+    lidx = jnp.asarray(np.stack([t[1] for t in triples]))
+    cidx = jnp.asarray(np.stack([t[2] for t in triples]))
+    state, losses = chunk(state, jnp.asarray(xpos),
+                          jnp.asarray(ypos[cfg.rewidx]),
+                          jnp.asarray(xneg),
+                          jnp.asarray(yneg[cfg.rewidx]),
+                          hidx, lidx, cidx, jax.random.PRNGKey(0))
+    ours = np.asarray(losses, dtype=np.float64)  # (S, 4)
+
+    # step 0 is computed at identical weights -> tight
+    np.testing.assert_allclose(ours[0], ref_rows[0], rtol=1e-4,
+                               atol=1e-8)
+    # early steps before Adam noise amplification
+    np.testing.assert_allclose(ours[:5], ref_rows[:5], rtol=0.02,
+                               atol=1e-6)
+    # whole trajectory statistically locked, per term
+    for term, name in enumerate(("replace", "inject", "norm",
+                                 "critic")):
+        t = ref_rows[:, term]
+        rel = np.abs(ours[:, term] - t) / np.maximum(np.abs(t), 1e-6)
+        assert rel.mean() < 0.05, (
+            f"{name}: mean rel gap {rel.mean():.4f}")
+
+    # final params agree within the Adam sign-noise envelope
+    # (<= 2*lr*steps pointwise worst case; typical drift far smaller)
+    final = {
+        "critic": flax_to_torch_state(
+            jax.tree.map(np.asarray, state.params["critic"]),
+            CRITIC_KEYMAP),
+        "masker": flax_to_torch_state(
+            jax.tree.map(np.asarray, state.params["masker"]),
+            DECODER_KEYMAP),
+    }
+    for name, module in (("critic", h.critic), ("masker", h.masker)):
+        tstate = _state_np(module)
+        for k, tv in tstate.items():
+            np.testing.assert_allclose(
+                final[name][k], tv, atol=5e-3,
+                err_msg=f"final params: {name} {k}")
+
+    # bonus: a masker .pt written by the REFERENCE's own save_models
+    # (main.py:149-156, called at main.py:575) loads through our
+    # interop bit-exactly
+    pt_path = tmp_path / h.save_paths[h.maskername]
+    assert pt_path.exists()
+    loaded = load_pt_masker(str(pt_path))
+    ref_state = _state_np(h.masker)
+    back = flax_to_torch_state(loaded, DECODER_KEYMAP)
+    for k, v in ref_state.items():
+        np.testing.assert_array_equal(back[k], v)
+
+
+def test_reference_critic_pipe_grads_match(ref, rng, monkeypatch,
+                                           tmp_path):
+    """One critic-phase step through the reference's own critic_pipe
+    (main.py:158-236) vs our build_critic_loss gradients."""
+    _, ref_main = ref
+    cfg = _ref_config(cepochs=1, train=True)
+    h = _make_handler(ref_main, cfg, monkeypatch, tmp_path)
+
+    xb = rng.integers(0, 256, (64, 64, 64, 3), dtype=np.uint8)
+    yb = rng.random((64, 2)).astype(np.float32)
+    h.train_loader = [(torch.from_numpy(xb), torch.from_numpy(yb),
+                       torch.arange(64))]
+    cparams = torch_state_to_flax(_state_np(h.critic), CRITIC_KEYMAP)
+    frec = _FRecorder(ref_main.F)
+    monkeypatch.setattr(ref_main, "F", frec)
+
+    h.critic_pipe("train")
+    assert len(frec.mse) == 1
+    tgrads = {k: p.grad.numpy() for k, p in
+              zip(h.critic.state_dict().keys(), h.critic.parameters())}
+
+    from cgs_tpu.train.losses import build_critic_loss
+    loss_fn = build_critic_loss(cfg, Critic(dropout=0.0))
+    jloss, jgrads = jax.value_and_grad(loss_fn)(
+        cparams, jnp.asarray(xb, jnp.float32) / 255.0,
+        jnp.asarray(yb[:, cfg.rewidx]), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(jloss), frec.mse[0], rtol=3e-5)
+    jg = flax_to_torch_state(jax.tree.map(np.asarray, jgrads),
+                             CRITIC_KEYMAP)
+    for k, tg in tgrads.items():
+        np.testing.assert_allclose(jg[k], tg, atol=1e-6, rtol=3e-5,
+                                   err_msg=f"critic grad {k}")
