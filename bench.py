@@ -104,9 +104,16 @@ def main():
                 *_, ck = pipe.run_device(frames)
                 float(ck)
             break
-        except Exception:
+        except Exception as e:
             if attempt:
                 raise
+            # surface the swallowed first attempt (ADVICE r3): a
+            # deterministic failure (shape bug, OOM) should not hide
+            # behind the transient-tunnel retry's 15 s pause
+            print(f"[bench] warmup attempt 1 failed "
+                  f"({type(e).__name__}: {e}); retrying once in 15 s "
+                  "in case it is the transient tunnel "
+                  "FAILED_PRECONDITION", flush=True)
             time.sleep(15)
             frames = jax.jit(
                 lambda k: jax.random.randint(k, (batch, 64, 64, 3),
@@ -245,9 +252,14 @@ def _host_fed(jax, jnp, critic, masker, cp, mp, MaskPipeline, batch):
     can never cost the headline (the round-2 failure mode)."""
     if remaining() < 60:
         return {}
+    # wire='u8' + in-graph binarization IS the production -process
+    # path now (Handler.segment selects it whenever -crf is off;
+    # VERDICT r3 #4) — mask D2H drops f32 16 KB/frame -> uint8
+    # 4(+4 hard) KB/frame on this transfer-bound path
     host_pipe = MaskPipeline(critic, masker,
                              {"critic": cp, "masker": mp},
-                             batch_size=min(batch, 4096))
+                             batch_size=min(batch, 4096),
+                             wire="u8", hard_threshold=0.5)
     host_frames = np.random.default_rng(0).integers(
         0, 256, (4096, 64, 64, 3), dtype=np.uint8)
     host_pipe.run(host_frames)  # compile + warm AT THE TIMED SHAPE
@@ -256,11 +268,25 @@ def _host_fed(jax, jnp, critic, masker, cp, mp, MaskPipeline, batch):
     t0 = time.time()
     host_pipe.run(host_frames)
     host_fps = host_frames.shape[0] / (time.time() - t0)
-    return {
+    out = {
         "host_fed_frames_per_sec": round(host_fps, 1),
-        "host_fed_note": "bounded by this harness's ~22MB/s tunnel "
-                         "H2D, not the chip; see RESULTS.md",
+        "host_fed_note": "u8 wire (the -process default); bounded by "
+                         "this harness's ~22MB/s tunnel, not the chip;"
+                         " see RESULTS.md",
     }
+    if remaining() < 30:
+        return out
+    f32_pipe = MaskPipeline(critic, masker,
+                            {"critic": cp, "masker": mp},
+                            batch_size=min(batch, 4096))
+    f32_pipe.run(host_frames)
+    if remaining() < 20:
+        return out
+    t0 = time.time()
+    f32_pipe.run(host_frames)
+    out["host_fed_f32_frames_per_sec"] = round(
+        host_frames.shape[0] / (time.time() - t0), 1)
+    return out
 
 
 if __name__ == "__main__":

@@ -133,11 +133,18 @@ class Config:
                                  # invariant)
     bf16: bool = False           # bfloat16 compute for the conv stack
     synthetic_data: bool = False  # use the synthetic fixture dataset
+    synthetic_variant: str = "easy"  # easy | hard (data/synthetic.py:
+                                 # hard = texture-defined reward,
+                                 # color-matched distractors,
+                                 # nonstationary background — the
+                                 # ablation-ordering fixture)
     contrastive_min: int = 500   # min pos/neg frames (main.py:281)
     profile: str = ""            # xplane trace dir (jax.profiler)
     crf_rescale: bool = False    # per-frame mask rescale before CRF
     debug_nan: bool = False      # per-chunk NaN/Inf guards
     serve_wait_ms: float = 2.0   # serve.py micro-batch window
+    serve_wire: str = "f32"      # serve mask D2H: f32 | u8 (quantized;
+                                 # see pipeline.py wire docs)
     orbax: bool = False          # full-train-state ckpt + resume
     ensemble: int = 0            # serve/-process/-eval the mean mask
                                  # of N per-seed runs {model}-seed{s}
@@ -258,6 +265,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("-synthetic_data", action="store_true")
+    p.add_argument("--synthetic-variant", type=str, default="easy",
+                   choices=("easy", "hard"))
     p.add_argument("--contrastive-min", type=int, default=500)
     p.add_argument("--infer-batch", type=int, default=0)
     p.add_argument("--profile", type=str, default="")
@@ -265,6 +274,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-orbax", action="store_true")
     p.add_argument("-crf_rescale", action="store_true")
     p.add_argument("--serve-wait-ms", type=float, default=2.0)
+    p.add_argument("--serve-wire", type=str, default="f32",
+                   choices=("f32", "u8"))
     p.add_argument("--ensemble", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=64)
     return p

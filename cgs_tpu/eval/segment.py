@@ -84,32 +84,69 @@ def load_folder(folder: str):
     return np.stack(frames) / 255.0, stems
 
 
+def _png8(m: np.ndarray) -> np.ndarray:
+    """Float mask -> PNG-space uint8, exactly as the reference writes
+    it (`(m*255).astype(uint8)`, main.py:1216-1223; clip guards CRF/
+    saliency variants that can exceed [0,1])."""
+    return (255 * np.clip(m, 0, 1)).astype(np.uint8)
+
+
 def _mask_variants(cfg, pipeline, x: np.ndarray, crf_fn=None):
-    """(preds, ordered variant list) for float frames x in [0,1] —
-    the allM construction (main.py:1160-1203), shared by the folder
-    and video drivers."""
+    """(preds, ordered float variant list, PNG-space uint8 list) for
+    float frames x in [0,1] — the allM construction
+    (main.py:1160-1203), shared by the folder and video drivers.
+
+    With a reduced-wire pipeline (wire='u8', VERDICT r3 #4) the soft
+    mask arrives PNG-space-quantized uint8 and the binarization
+    arrives as the in-graph uint8 plane — the PNG outputs are
+    bit-identical to the f32 path (test_wire_reduction.py) at 1/4 the
+    D2H transfer; the float `variants` entries are then the quantized
+    values (q/255, and exact 0/1 hard masks)."""
     x_u8 = (x * 255).astype(np.uint8)  # one conversion for pipeline+CRFs
     out = pipeline.run(x_u8)
-    preds, masks, sal = out.preds, out.masks, out.saliency
+    preds, sal = out.preds, out.saliency
 
-    all_m: List[np.ndarray] = [masks.squeeze(-1)]
-    if cfg.binarymaskthreshold:                  # main.py:1163-1167
-        all_m.append((masks >= cfg.binarymaskthreshold).squeeze(-1)
-                     .astype(np.float32))
-    if cfg.crf and crf_fn is not None:           # main.py:1169-1172
-        all_m.append(crf_fn(x_u8,
-                            masks.squeeze(-1)).astype(np.float32))
+    all_m: List[np.ndarray] = []
+    all_png: List[np.ndarray] = []
+    if out.masks_u8 is not None:       # reduced wire
+        if cfg.crf and crf_fn is not None:
+            raise ValueError(
+                "CRF refinement needs f32 soft masks — construct the "
+                "pipeline with wire='f32' when -crf is on "
+                "(Handler.segment selects this automatically)")
+        q = out.masks_u8.squeeze(-1)
+        all_m.append(q.astype(np.float32) / 255.0)
+        all_png.append(q)
+        if cfg.binarymaskthreshold:              # main.py:1163-1167
+            hard = out.hard.squeeze(-1)
+            all_m.append(hard.astype(np.float32))
+            all_png.append(hard * np.uint8(255))
+    else:
+        masks = out.masks
+        all_m.append(masks.squeeze(-1))
+        if cfg.binarymaskthreshold:              # main.py:1163-1167
+            if out.hard is not None:   # device-side binarization
+                all_m.append(out.hard.squeeze(-1).astype(np.float32))
+            else:
+                all_m.append((masks >= cfg.binarymaskthreshold)
+                             .squeeze(-1).astype(np.float32))
+        if cfg.crf and crf_fn is not None:       # main.py:1169-1172
+            all_m.append(crf_fn(x_u8,
+                                masks.squeeze(-1)).astype(np.float32))
+        all_png.extend(_png8(m) for m in all_m)
     if cfg.process_salience and sal is not None:  # main.py:1176-1203
         norm_fn = normalize_saliency_global if cfg.salglobal \
             else normalize_saliency_topk
         sal_soft, sal_hard = (np.asarray(v) for v in norm_fn(
             sal, preds, cfg.salience_thresh))
-        all_m.extend([sal_soft.squeeze(-1),
-                      sal_hard.squeeze(-1).astype(np.float32)])
-        if cfg.crf and crf_fn is not None:
-            all_m.append(crf_fn(x_u8, sal_soft.squeeze(-1))
-                         .astype(np.float32))
-    return preds, all_m
+        sal_entries = [sal_soft.squeeze(-1),
+                       sal_hard.squeeze(-1).astype(np.float32)]
+        if cfg.crf and crf_fn is not None and out.masks_u8 is None:
+            sal_entries.append(crf_fn(x_u8, sal_soft.squeeze(-1))
+                               .astype(np.float32))
+        all_m.extend(sal_entries)
+        all_png.extend(_png8(m) for m in sal_entries)
+    return preds, all_m, all_png
 
 
 def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
@@ -118,7 +155,7 @@ def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
     variant arrays for testing. write=False keeps the (SPMD) compute
     but skips the files — non-primary hosts of a multi-host run."""
     x, stems = load_folder(folder)
-    preds, all_m = _mask_variants(cfg, pipeline, x, crf_fn)
+    preds, all_m, all_png = _mask_variants(cfg, pipeline, x, crf_fn)
 
     out_dir = out_dir or cfg.mask_output_imgs
     if not write:
@@ -128,11 +165,8 @@ def segment_folder(cfg, pipeline, folder: str, crf_fn=None,
     def write_frame(args):                # PNG encode threads too
         fidx, stem = args
         rgb = (255 * x[fidx]).astype(np.uint8)
-        mask_imgs = [
-            (255 * np.clip(m[fidx], 0, 1)).astype(np.uint8)
-            for m in all_m]
-        mask_rgb = [np.repeat(m[..., None], 3, axis=-1)
-                    for m in mask_imgs]
+        mask_rgb = [np.repeat(m[fidx][..., None], 3, axis=-1)
+                    for m in all_png]
         if cfg.concatenated:                      # main.py:1216-1219
             strip = np.concatenate([rgb] + mask_rgb, axis=1)
             Image.fromarray(strip).save(
@@ -185,7 +219,7 @@ def segment_video(cfg, pipeline, path: str, crf_fn=None,
     from cgs_tpu.utils.video import vidwrite
 
     x, fps = load_video(path)
-    preds, all_m = _mask_variants(cfg, pipeline, x, crf_fn)
+    preds, all_m, all_png = _mask_variants(cfg, pipeline, x, crf_fn)
 
     stem = os.path.splitext(os.path.basename(path))[0]
     out_dir = out_dir or cfg.mask_output_imgs
@@ -194,9 +228,7 @@ def segment_video(cfg, pipeline, path: str, crf_fn=None,
                 "fps": fps}
     os.makedirs(out_dir, exist_ok=True)
     rgb = (255 * x).astype(np.uint8)
-    mask_rgb = [np.repeat(
-        (255 * np.clip(m, 0, 1)).astype(np.uint8)[..., None],
-        3, axis=-1) for m in all_m]
+    mask_rgb = [np.repeat(m[..., None], 3, axis=-1) for m in all_png]
     if cfg.concatenated:
         strip = np.concatenate([rgb] + mask_rgb, axis=2)
         vidwrite(os.path.join(out_dir, f"{stem}_with_mask.mp4"),

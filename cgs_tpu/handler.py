@@ -488,11 +488,15 @@ class Handler:
 
     # -- eval / inference ---------------------------------------------
 
-    def _pipeline(self, salience: bool) -> MaskPipeline:
-        """Cached per (salience,) config: repeated evals (e.g.
-        -directeval's per-epoch loop) reuse the compiled program and
-        only swap params — a retrace per epoch would pay the remote
-        compile every time.
+    def _pipeline(self, salience: bool, wire: str = "f32",
+                  hard_threshold=None) -> MaskPipeline:
+        """Cached per (salience, wire, hard_threshold) config: repeated
+        evals (e.g. -directeval's per-epoch loop) reuse the compiled
+        program and only swap params — a retrace per epoch would pay
+        the remote compile every time.
+
+        wire/hard_threshold: D2H reduction for host-fed paths
+        (pipeline.py docstring; selected by Handler.segment).
 
         --ensemble N (framework extension): serve the MEAN of the N
         per-seed runs `{model}-seed{s}` — the checkpoints live on
@@ -504,7 +508,8 @@ class Handler:
         vmapped-over-weights forward is the partitioner-bug surface
         seed_parallel._seed_jit documents."""
         ensemble = self.cfg.ensemble > 0
-        pipe = self._pipes.get(salience)
+        cache_key = (salience, wire, hard_threshold)
+        pipe = self._pipes.get(cache_key)
         if pipe is not None:
             if not ensemble:
                 pipe.update_params(self.params)
@@ -530,8 +535,10 @@ class Handler:
             separate=self.cfg.separate and not ensemble,
             seed=self.cfg.seed,
             mesh=mesh,
-            ensemble=ensemble)
-        self._pipes[salience] = pipe
+            ensemble=ensemble,
+            wire=wire,
+            hard_threshold=hard_threshold)
+        self._pipes[cache_key] = pipe
         return pipe
 
     def _crf_fn(self):
@@ -578,8 +585,19 @@ class Handler:
     def segment(self, folder: str) -> Dict:
         """-process (main.py:1103-1223). A --source-imgs path that is
         a video FILE routes to the video driver (framework extension);
-        directories keep the reference folder semantics."""
-        pipe = self._pipeline(salience=self.cfg.process_salience)
+        directories keep the reference folder semantics.
+
+        Without -crf the mask D2H goes reduced-wire: PNG-space uint8
+        soft masks plus (when --binarymaskthreshold) the in-graph
+        binarization — 1/4 the dominant transfer with bit-identical
+        outputs (pipeline.py wire docs; VERDICT r3 #4). CRF consumes
+        f32 probabilities, so -crf keeps the f32 wire untouched."""
+        cfg = self.cfg
+        wire = "f32" if cfg.crf else "u8"
+        hard = (cfg.binarymaskthreshold
+                if wire == "u8" and cfg.binarymaskthreshold else None)
+        pipe = self._pipeline(salience=cfg.process_salience,
+                              wire=wire, hard_threshold=hard)
         if os.path.isfile(folder) and \
                 folder.lower().endswith(VIDEO_EXTS):
             from cgs_tpu.eval.segment import segment_video

@@ -11,7 +11,11 @@ Throughput design (north-star: >=100k 64x64 frames/s/chip):
     conv pipeline startup amortize; the final ragged batch is padded
     (static shapes — XLA compiles exactly two programs);
   * inputs are dispatched asynchronously ahead of consumption so H2D
-    copies overlap device compute;
+    copies overlap device compute — bounded to max_in_flight
+    outstanding chunks so live outputs never exhaust HBM;
+  * host-fed callers can take the mask down-wire as PNG-space uint8
+    (+ an in-graph binarization plane) at 1/4 the D2H bytes with
+    bit-identical -process outputs (`wire`, `hard_threshold`);
   * measured on a v5e-1: ~604k frames/s device-resident at batch 32k
     in bf16 (~306k f32), vs the reference's single-digit-k on CPU
     torch; see RESULTS.md for methodology and the roofline analysis.
@@ -32,8 +36,14 @@ Array = jnp.ndarray
 @dataclasses.dataclass
 class PipelineOutput:
     preds: np.ndarray          # (N,) critic scores
-    masks: np.ndarray          # (N, H, W, 1) soft masks
+    masks: Optional[np.ndarray]  # (N, H, W, 1) f32 soft masks
+    #                              (None when wire='u8')
     saliency: Optional[np.ndarray] = None   # (N, H, W, 1) |input-grad|
+    masks_u8: Optional[np.ndarray] = None   # (N, H, W, 1) uint8 0..255
+    #                              PNG-space quantized soft masks
+    #                              (wire='u8' only)
+    hard: Optional[np.ndarray] = None       # (N, H, W, 1) uint8 0/1
+    #                              in-graph (mask >= hard_threshold)
 
 
 class MaskPipeline:
@@ -45,11 +55,16 @@ class MaskPipeline:
     reference's `.train()` inference quirk (main.py:1114-1118).
     """
 
+    MAX_IN_FLIGHT = 3   # run(): outstanding device dispatches
+
     def __init__(self, critic, masker, params, batch_size: int = 16384,
                  salience: bool = False, eval_mode: bool = True,
                  separate: bool = False, seed: int = 0,
                  with_checksum: bool = False, mesh=None,
-                 use_pallas: bool = False, ensemble: bool = False):
+                 use_pallas: bool = False, ensemble: bool = False,
+                 wire: str = "f32",
+                 hard_threshold: Optional[float] = None,
+                 max_in_flight: Optional[int] = None):
         """mesh: optional ('data','model') jax Mesh — params are
         replicated and run() shards each batch over 'data', so
         multi-chip inference needs no other change (the committed
@@ -68,6 +83,35 @@ class MaskPipeline:
         with CRF in RESULTS.md). No upstream analogue (framework
         extension).
 
+        wire: mask D2H format (VERDICT r3 #4 — on host-fed paths the
+        f32 soft-mask transfer dominates, 16 KB/frame):
+          * 'f32' (default): soft f32 masks — the parity surface every
+            numeric consumer (eval IoU, CRF) reads.
+          * 'u8': PNG-space quantized uint8, floor(255*clip(m,0,1)) —
+            BIT-IDENTICAL to what the -process PNG writers compute
+            from the f32 masks (main.py:1216-1223 `(m*255).astype
+            (uint8)` truncates; m>=0 so trunc==floor — we floor
+            in-graph so the XLA f32->u8 convert, whose rounding mode
+            is not portable, sees an exact integer), at 1/4 the
+            transfer. run() then fills `masks_u8` and leaves `masks`
+            None.
+
+        hard_threshold: when set, the graph ALSO emits
+        (mask >= hard_threshold) as a uint8 0/1 plane (`hard` in the
+        output) — the -process binarization (main.py:1164, note >=)
+        computed device-side, so a 'u8'-wire caller still gets hard
+        masks identical to host-thresholding the f32 masks (the
+        quantized mask alone could not reproduce them: floor crosses
+        the threshold differently). Ignored by nothing: works with
+        any wire.
+
+        max_in_flight: bound on outstanding run() dispatches (default
+        MAX_IN_FLIGHT=3). Unbounded async dispatch would hold every
+        chunk's outputs live in HBM at once — ~280 MB/chunk at batch
+        16k, RESOURCE_EXHAUSTED on a v5e-1 for ~30-chunk folders
+        (VERDICT r3 #3); a window of 3 keeps H2D/compute/D2H
+        overlapped while capping live output memory.
+
         ensemble + mesh composes as SEED-SHARDED inference: the seed
         axis shards over 'data' (R % n_data == 0 required), the batch
         replicates, and each device runs a plain local vmap over its
@@ -82,6 +126,14 @@ class MaskPipeline:
         self.masker = masker
         self.mesh = mesh
         self.ensemble = bool(ensemble)
+        if wire not in ("f32", "u8"):
+            raise ValueError(f"wire={wire!r} not in ('f32', 'u8')")
+        self.wire = wire
+        self.hard_threshold = (float(hard_threshold)
+                               if hard_threshold is not None else None)
+        self.max_in_flight = max(1, int(max_in_flight
+                                        if max_in_flight is not None
+                                        else self.MAX_IN_FLIGHT))
         platform = (mesh.devices.flat[0].platform if mesh is not None
                     else jax.default_backend())
         self._pallas_ingest = bool(use_pallas) and platform == "tpu"
@@ -116,6 +168,34 @@ class MaskPipeline:
         self._fn = jax.jit(self._make_forward())
 
     def _make_forward(self):
+        return self._encode_wire(self._make_core_forward())
+
+    def _encode_wire(self, core):
+        """Wrap the core forward with the output wire encoding (see
+        __init__: wire / hard_threshold). Applied AFTER the ensemble
+        mean (a mean of quantized uint8 members would not be the
+        quantized mean), before jit, so the threshold compare and the
+        floor-quantize fuse into the same program — the f32 mask never
+        leaves the device."""
+        wire, thr = self.wire, self.hard_threshold
+        if wire == "f32" and thr is None:
+            return core
+
+        def encoded(params, u8, key):
+            out = core(params, u8, key)
+            pred, mask, sal = out[0], out[1], out[2]
+            rest = tuple(out[3:])        # with_checksum's ck, if any
+            extra = ()
+            if thr is not None:          # main.py:1164 (>=)
+                extra = ((mask >= thr).astype(jnp.uint8),)
+            if wire == "u8":
+                mask = jnp.floor(
+                    jnp.clip(mask, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return (pred, mask, sal) + extra + rest
+
+        return encoded
+
+    def _make_core_forward(self):
         single = self._make_single_forward()
         if not self.ensemble:
             return single
@@ -282,20 +362,45 @@ class MaskPipeline:
         return self._fn(self.params, frames_u8, self._next_key())
 
     def run(self, frames_u8: np.ndarray) -> PipelineOutput:
-        """Host-array path with chunking, padding, and async dispatch."""
+        """Host-array path: chunking, padding, async dispatch bounded
+        to max_in_flight outstanding chunks. Dispatching every chunk
+        before the first readback (the r3 design) holds every chunk's
+        outputs live in HBM simultaneously — a 500k-frame folder at
+        batch 16k is ~30 chunks x ~280 MB of outputs, RESOURCE_
+        EXHAUSTED on a v5e-1 (VERDICT r3 #3). A window of 3 still
+        overlaps the next H2D copy and compute with the current D2H
+        readback, so throughput is unchanged (bench-verified)."""
         n = frames_u8.shape[0]
         if n == 0:
             h, w = frames_u8.shape[1:3] or (64, 64)
+            zmask = np.zeros((0, h, w, 1), np.float32)
             return PipelineOutput(
                 preds=np.zeros((0,), np.float32),
-                masks=np.zeros((0, h, w, 1), np.float32),
+                masks=zmask if self.wire == "f32" else None,
+                masks_u8=(np.zeros((0, h, w, 1), np.uint8)
+                          if self.wire == "u8" else None),
+                hard=(np.zeros((0, h, w, 1), np.uint8)
+                      if self.hard_threshold is not None else None),
                 saliency=np.zeros((0, h, w, 1), np.float32)
                 if self.salience else None)
         bs = min(self.batch, n)
         if self.mesh is not None:  # keep shards even
             ndata = self.mesh.shape["data"]
             bs = -(-bs // ndata) * ndata
-        futures = []
+
+        with_hard = self.hard_threshold is not None
+        preds, masks, sals, hards = [], [], [], []
+
+        def read_back(fut):
+            pred, mask, sal = fut[0], fut[1], fut[2]
+            preds.append(np.asarray(pred))
+            masks.append(np.asarray(mask))
+            if sal is not None:
+                sals.append(np.asarray(sal))
+            if with_hard:
+                hards.append(np.asarray(fut[3]))
+
+        pending = []
         for lo in range(0, n, bs):
             chunk = frames_u8[lo:lo + bs]
             if chunk.shape[0] < bs:  # pad final ragged batch
@@ -305,16 +410,19 @@ class MaskPipeline:
                                      chunk.dtype)], axis=0)
             # the device_put/asarray starts the H2D copy; dispatch is
             # async, so the next chunk's copy overlaps this compute
-            futures.append(self._fn(self.params, self.place_input(chunk),
+            pending.append(self._fn(self.params, self.place_input(chunk),
                                     self._next_key()))
+            if len(pending) >= self.max_in_flight:
+                read_back(pending.pop(0))
+        for fut in pending:
+            read_back(fut)
 
-        preds, masks, sals = [], [], []
-        for pred, mask, sal in (f[:3] for f in futures):
-            preds.append(np.asarray(pred))
-            masks.append(np.asarray(mask))
-            if sal is not None:
-                sals.append(np.asarray(sal))
         preds = np.concatenate(preds)[:n]
-        masks = np.concatenate(masks)[:n]
+        mask_all = np.concatenate(masks)[:n]
         sal = np.concatenate(sals)[:n] if sals else None
-        return PipelineOutput(preds=preds, masks=masks, saliency=sal)
+        hard = np.concatenate(hards)[:n] if hards else None
+        if self.wire == "u8":
+            return PipelineOutput(preds=preds, masks=None, saliency=sal,
+                                  masks_u8=mask_all, hard=hard)
+        return PipelineOutput(preds=preds, masks=mask_all, saliency=sal,
+                              hard=hard)

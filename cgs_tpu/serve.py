@@ -28,6 +28,13 @@ The flag grammar reuses the training CLI's (core/config.py): --model
 picks the run directory whose fingerprinted .pt checkpoints to load,
 --infer-batch caps the micro-batch (default 256 — latency-bound, not
 the offline 16k), --bf16/--crf behave as in `-process`.
+
+--serve-wire u8 quarters the device->host mask transfer (PNG-space
+uint8 instead of f32; responses are 8-bit PNGs so `raw` stays
+bit-identical) and, with --binarymaskthreshold, binarizes in-graph so
+`thresholded` at the server threshold is exact too. Per-request custom
+thresholds and --crf need the f32 probabilities and are rejected
+(400) on the u8 wire.
 """
 
 from __future__ import annotations
@@ -62,7 +69,11 @@ class _Server(ThreadingHTTPServer):
 class _Request:
     frame: np.ndarray                  # (64, 64, 3) uint8
     done: threading.Event = field(default_factory=threading.Event)
-    mask: Optional[np.ndarray] = None  # (64, 64) f32 soft mask
+    mask: Optional[np.ndarray] = None  # (64, 64) f32 soft mask, or
+    #                                    uint8 0..255 under --serve-wire u8
+    hard: Optional[np.ndarray] = None  # (64, 64) uint8 0/1 in-graph
+    #                                    binarization (u8 wire +
+    #                                    --binarymaskthreshold only)
     pred: float = 0.0
     error: Optional[str] = None        # batch-level failure message
     abandoned: bool = False            # submitter gave up (timeout)
@@ -90,6 +101,9 @@ class MicroBatcher:
     def __init__(self, pipeline, batch: int, max_wait_ms: float = 2.0,
                  max_inflight: int = 2):
         self.pipeline = pipeline
+        # pipeline emits an extra in-graph binarization plane?
+        self._has_hard = getattr(pipeline, "hard_threshold",
+                                 None) is not None
         self.batch = int(batch)
         self.max_wait = max_wait_ms / 1000.0
         self.q: "queue.Queue[_Request]" = queue.Queue()
@@ -213,11 +227,14 @@ class MicroBatcher:
             try:
                 # D2H readback — async dispatch errors surface HERE
                 pred, mask = np.asarray(out[0]), np.asarray(out[1])
+                hard = np.asarray(out[3]) if self._has_hard else None
             except Exception as e:
                 self._fail(reqs, e, self.stats)
                 continue
             for i, r in enumerate(reqs):
                 r.mask = mask[i, :, :, 0]
+                if hard is not None:
+                    r.hard = hard[i, :, :, 0]
                 r.pred = float(pred[i])
                 r.done.set()
 
@@ -269,10 +286,26 @@ class MaskServer:
         # trained on the sepcrit's embeds (main.py:946-947) — serving
         # must feed it the same features or /segment silently returns
         # different masks than the offline -process path
+        # --serve-wire u8: D2H the PNG-space quantized uint8 mask (1/4
+        # the transfer — serve responses are 8-bit PNGs, so `raw` is
+        # bit-identical) plus, with --binarymaskthreshold, the
+        # in-graph binarization plane for `thresholded` at the
+        # server's threshold. The f32 default keeps per-request custom
+        # thresholds and -crf exact (those need the f32 probabilities,
+        # so under u8 they are rejected with 400).
+        self.wire = getattr(cfg, "serve_wire", "f32")
+        self.hard_thr = (float(cfg.binarymaskthreshold)
+                         if self.wire == "u8" and cfg.binarymaskthreshold
+                         else None)
+        if self.wire == "u8" and cfg.crf:
+            raise ValueError(
+                "--serve-wire u8 is incompatible with --crf: CRF "
+                "refinement consumes f32 soft-mask probabilities")
         pipe = MaskPipeline(critic, masker, params, batch_size=batch,
                             eval_mode=not cfg.noevalmode, seed=cfg.seed,
                             separate=cfg.separate and not ensemble,
-                            mesh=mesh, ensemble=ensemble)
+                            mesh=mesh, ensemble=ensemble,
+                            wire=self.wire, hard_threshold=self.hard_thr)
         batch = pipe.batch      # mesh-rounded
         # warm the (single, batch-shaped) compiled program before
         # accepting traffic — the batcher always dispatches full pads
@@ -409,17 +442,40 @@ class MaskServer:
         frame = np.asarray(img, np.uint8)
         req = self.batcher.submit(frame)
         mask = req.mask
-        if variant == "crf":
-            if self.crf_fn is None:
-                raise ValueError("server started without --crf")
-            refined = self.crf_fn(frame[None], mask[None])
-            mask = np.asarray(refined)[0].astype(np.float32)
-        elif variant == "thresholded":
-            # >= to match the offline -process binarization
-            # (eval/segment.py: masks >= binarymaskthreshold)
-            mask = (mask >= threshold).astype(np.float32)
-        out = Image.fromarray(
-            (np.clip(mask, 0, 1) * 255).astype(np.uint8), "L")
+        if self.wire == "u8":
+            # quantized wire: mask is already the PNG payload
+            if variant == "crf":
+                raise ValueError(
+                    "crf variant needs f32 soft masks — restart the "
+                    "server without --serve-wire u8")
+            if variant == "thresholded":
+                if req.hard is None:
+                    raise ValueError(
+                        "thresholded variant under --serve-wire u8 "
+                        "needs --binarymaskthreshold set at server "
+                        "start (the binarization runs in-graph)")
+                if abs(threshold - self.hard_thr) > 1e-12:
+                    raise ValueError(
+                        f"--serve-wire u8 binarizes in-graph at the "
+                        f"server threshold {self.hard_thr}; "
+                        f"per-request ?threshold={threshold} is only "
+                        "available on the f32 wire")
+                png_mask = req.hard * np.uint8(255)
+            else:
+                png_mask = mask
+            out = Image.fromarray(png_mask, "L")
+        else:
+            if variant == "crf":
+                if self.crf_fn is None:
+                    raise ValueError("server started without --crf")
+                refined = self.crf_fn(frame[None], mask[None])
+                mask = np.asarray(refined)[0].astype(np.float32)
+            elif variant == "thresholded":
+                # >= to match the offline -process binarization
+                # (eval/segment.py: masks >= binarymaskthreshold)
+                mask = (mask >= threshold).astype(np.float32)
+            out = Image.fromarray(
+                (np.clip(mask, 0, 1) * 255).astype(np.uint8), "L")
         if (w, h) != (64, 64):
             out = out.resize((w, h), Image.NEAREST)
         buf = io.BytesIO()

@@ -433,3 +433,54 @@ def test_reload_under_concurrent_traffic(tmp_path, rng):
         assert srv.reloads >= 1
     finally:
         srv.batcher.close()
+
+
+# -- reduced serve wire (--serve-wire u8; VERDICT r3 #4) --------------
+
+@pytest.fixture(scope="module")
+def u8_server(tmp_path_factory):
+    cfg = parse_args(["--infer-batch", "16", "--serve-wait-ms", "30",
+                      "--serve-wire", "u8",
+                      "--binarymaskthreshold", "0.5",
+                      "--model", str(tmp_path_factory.mktemp("srv8")
+                                     / "norun")])
+    srv = MaskServer(cfg)
+    yield srv
+    srv.batcher.close()
+
+
+def test_u8_wire_raw_png_bit_identical(server, u8_server, rng):
+    """Same seed -> same random-init weights; the raw PNG response
+    must byte-equal the f32 server's (responses are 8-bit PNGs, so
+    quantizing on device loses nothing)."""
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    body = _png(frame)
+    assert u8_server.segment_bytes(body) == server.segment_bytes(body)
+
+
+def test_u8_wire_thresholded_exact_at_server_threshold(server,
+                                                       u8_server, rng):
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    body = _png(frame)
+    a = server.segment_bytes(body, variant="thresholded",
+                             threshold=0.5)
+    b = u8_server.segment_bytes(body, variant="thresholded",
+                                threshold=0.5)
+    assert a == b
+
+
+def test_u8_wire_rejects_custom_threshold_and_crf(u8_server, rng):
+    frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    body = _png(frame)
+    with pytest.raises(ValueError, match="f32 wire"):
+        u8_server.segment_bytes(body, variant="thresholded",
+                                threshold=0.25)
+    with pytest.raises(ValueError, match="f32"):
+        u8_server.segment_bytes(body, variant="crf")
+
+
+def test_u8_wire_incompatible_with_crf_at_start(tmp_path):
+    cfg = parse_args(["--serve-wire", "u8", "-crf",
+                      "--model", str(tmp_path / "norun")])
+    with pytest.raises(ValueError, match="crf"):
+        MaskServer(cfg)
