@@ -100,21 +100,29 @@ def seed_shard_tree(mesh: Mesh, tree):
     return jax.device_put(tree, seed_sharding(mesh))
 
 
+_ensemble_warned = set()     # (who, r, ndata) already printed
+
+
 def ensemble_mesh_or_none(mesh: Optional[Mesh], r: int,
                           who: str = "cgs-tpu") -> Optional[Mesh]:
     """THE eligibility rule for seed-sharded ensemble inference:
     returns `mesh` when the R members divide evenly over the 'data'
-    axis, else warns once and returns None (callers fall back to the
-    single-device vmapped ensemble). One site so handler/serve/
-    pipeline cannot drift (MaskPipeline.update_params keeps the hard
-    ValueError as the last line of defense)."""
+    axis, else warns once per (caller, shape) and returns None
+    (callers fall back to the single-device vmapped ensemble). One
+    site so handler/serve/pipeline cannot drift
+    (MaskPipeline.update_params keeps the hard ValueError as the last
+    line of defense)."""
     if mesh is None:
         return None
     ndata = mesh.shape["data"]
     if r % ndata:
-        print(f"[{who}] --ensemble {r} does not divide over the "
-              f"{ndata}-wide 'data' axis — running unmeshed "
-              "(seed-sharding needs N % n_data == 0)")
+        key = (who, r, ndata)
+        if key not in _ensemble_warned:   # ADVICE r3: repeated
+            # _get_pipe cache misses / serve restarts were re-printing
+            _ensemble_warned.add(key)
+            print(f"[{who}] --ensemble {r} does not divide over the "
+                  f"{ndata}-wide 'data' axis — running unmeshed "
+                  "(seed-sharding needs N % n_data == 0)")
         return None
     return mesh
 

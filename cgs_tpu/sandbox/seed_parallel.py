@@ -117,29 +117,37 @@ def _seed_jit(vchunk, mesh, n_bank_args: int, n_seed_args: int):
 
 def make_seeded_critic_chunk(cfg, critic, tx, mesh=None):
     """Jitted: (sstate, x_all u8 (N,...), y_all (N,),
-    idx (R,S,B) i32, keys (R,)) -> (sstate, losses (R,S)).
-    R seeds x S optimizer steps in one dispatch."""
-    chunk = critic_chunk_fn(cfg, critic, tx)
-    vchunk = jax.vmap(chunk, in_axes=(0, None, None, 0, 0))
-    return _seed_jit(vchunk, mesh, n_bank_args=2, n_seed_args=2)
+    valid (S,) bool, idx (R,S,B) i32, keys (R,)) ->
+    (sstate, losses (R,S)). R seeds x S optimizer steps in one
+    dispatch; `valid` masks padded tail steps to identities (shared
+    across seeds, so every chunk of a phase reuses ONE compiled
+    shape — ADVICE r3)."""
+    chunk = critic_chunk_fn(cfg, critic, tx, masked=True)
+    vchunk = jax.vmap(chunk, in_axes=(0, None, None, None, 0, 0))
+    return _seed_jit(vchunk, mesh, n_bank_args=3, n_seed_args=2)
 
 
 def make_seeded_masker_chunk(cfg, critic, masker, tx, mesh=None,
                              fuse: str = "both"):
-    """Jitted: (sstate, x_all u8, y_row (N,), h (R,S,K), l (R,S,K),
-    c (R,S,2K), keys (R,)) -> (sstate, losses (R,S,4)).
+    """Jitted: (sstate, x_all u8, y_row (N,), valid (S,) bool,
+    h (R,S,K), l (R,S,K), c (R,S,2K), keys (R,)) ->
+    (sstate, losses (R,S,4)).
 
     The bank is passed as BOTH pos and neg side of the masker chunk
     with per-seed ABSOLUTE indices (each seed's pos/neg split differs
     because its critic differs — absolute indexing shares one bank
-    instead of materializing R gathered copies)."""
-    chunk = masker_chunk_fn(cfg, critic, masker, tx, fuse=fuse)
+    instead of materializing R gathered copies). `valid` as in
+    make_seeded_critic_chunk."""
+    chunk = masker_chunk_fn(cfg, critic, masker, tx, fuse=fuse,
+                            masked=True)
 
-    def abs_chunk(state, x_all, y_row, h, l, c, key):
-        return chunk(state, x_all, y_row, x_all, y_row, h, l, c, key)
+    def abs_chunk(state, x_all, y_row, valid, h, l, c, key):
+        return chunk(state, x_all, y_row, x_all, y_row, valid,
+                     h, l, c, key)
 
-    vchunk = jax.vmap(abs_chunk, in_axes=(0, None, None, 0, 0, 0, 0))
-    return _seed_jit(vchunk, mesh, n_bank_args=2, n_seed_args=4)
+    vchunk = jax.vmap(abs_chunk,
+                      in_axes=(0, None, None, None, 0, 0, 0, 0))
+    return _seed_jit(vchunk, mesh, n_bank_args=3, n_seed_args=4)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -381,6 +389,8 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
     cchunk = make_seeded_critic_chunk(cfg, critic, tx, mesh=mesh)
     B = int(cfg.batch_size)
     steps_epoch = -(-n_train // B)
+    cchunk_steps = min(chunk_steps, steps_epoch)  # single-chunk
+    # phases smaller than chunk_steps need no padding source
     tag = 0
     closses = []
     for epoch in range(cfg.cepochs):
@@ -393,16 +403,23 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
                 perm = np.concatenate([perm, perm[:pad]])
             stacks.append(perm.reshape(steps_epoch, B))
         idx_all = np.stack(stacks)                  # (R, S_epoch, B)
-        for s0 in range(0, steps_epoch, chunk_steps):
+        for s0 in range(0, steps_epoch, cchunk_steps):
+            sl = idx_all[:, s0:s0 + cchunk_steps]
+            s = sl.shape[1]
+            if s < cchunk_steps:    # pad the tail to the ONE chunk
+                # shape; padded steps are masked to identities
+                sl = np.concatenate(
+                    [sl, idx_all[:, :cchunk_steps - s]], axis=1)
+            valid = np.arange(cchunk_steps) < s
             tag += 1
-            cstate, losses = cchunk(cstate, x_dev, y_dev,
-                                    idx_all[:, s0:s0 + chunk_steps],
+            cstate, losses = cchunk(cstate, x_dev, y_dev, valid, sl,
                                     seed_keys(tag))
-            closses.append(np.asarray(losses))
+            losses = np.asarray(losses)[:, :s]
+            closses.append(losses)
         if verbose:
             print(f"[seed-parallel] critic epoch {epoch + 1}/"
                   f"{cfg.cepochs} loss/seed "
-                  f"{np.asarray(losses)[:, -1].round(4)}", flush=True)
+                  f"{losses[:, -1].round(4)}", flush=True)
     params = {**params, "critic": cstate.params["critic"]}
     critic_steps = cfg.cepochs * steps_epoch
     # the PERSISTED critic is the phase-1 result: the reference never
@@ -436,25 +453,34 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
                                       mesh=mesh)
     # common step count: ceil(max |pos|/K) (deviation, see module doc)
     steps_masker = -(-max(len(p) for p in pos_lists) // K)
+    mchunk_steps = min(chunk_steps, steps_masker)
     mlosses = []
     for epoch in range(cfg.mepochs):
-        for s0 in range(0, steps_masker, chunk_steps):
-            s = min(chunk_steps, steps_masker - s0)
-            h = np.stack([rngs[r].choice(pos_lists[r], (s, K))
+        for s0 in range(0, steps_masker, mchunk_steps):
+            s = min(mchunk_steps, steps_masker - s0)
+            # draws always fill the full chunk shape; the tail's
+            # surplus steps are masked to identities (one compiled
+            # shape per phase — ADVICE r3)
+            h = np.stack([rngs[r].choice(pos_lists[r],
+                                         (mchunk_steps, K))
                           for r in range(runs)])
-            l = np.stack([rngs[r].choice(neg_lists[r], (s, K))
+            l = np.stack([rngs[r].choice(neg_lists[r],
+                                         (mchunk_steps, K))
                           for r in range(runs)])
-            c = np.stack([rngs[r].choice(neg_lists[r], (s, 2 * K))
+            c = np.stack([rngs[r].choice(neg_lists[r],
+                                         (mchunk_steps, 2 * K))
                           for r in range(runs)])
+            valid = np.arange(mchunk_steps) < s
             tag += 1
-            mstate, losses = mchunk(mstate, x_dev, y_dev,
+            mstate, losses = mchunk(mstate, x_dev, y_dev, valid,
                                     h.astype(np.int32),
                                     l.astype(np.int32),
                                     c.astype(np.int32),
                                     seed_keys(tag))
-            mlosses.append(np.asarray(losses))
+            losses = np.asarray(losses)[:, :s]
+            mlosses.append(losses)
         if verbose:
-            ll = np.asarray(losses)[:, -1]        # (R, 4)
+            ll = losses[:, -1]                    # (R, 4)
             print(f"[seed-parallel] masker epoch {epoch + 1}/"
                   f"{cfg.mepochs} replace/seed {ll[:, 0].round(4)}",
                   flush=True)
@@ -528,7 +554,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
     runs = pop_runs(argv)
     cfg = parse_args(argv)
     x, y, _ = collect_data(cfg)
-    x_eval, gt = synthetic_eval_set(n_frames=5000, seed=99)
+    x_eval, gt = synthetic_eval_set(
+        n_frames=5000, seed=99,
+        variant=getattr(cfg, "synthetic_variant", "easy"))
     x_eval, gt = x_eval[100:5000:2], gt[100:5000:2]  # main.py:927-928
     out = run_parallel(cfg, x, y, runs,
                        mesh=local_mesh_or_none(cfg),

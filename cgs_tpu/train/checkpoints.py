@@ -105,12 +105,15 @@ def params_to_host(params):
     return jax.tree.map(lambda x: np.asarray(x), params)
 
 
-def load_seed_ensemble(cfg, n: int):
+def load_seed_ensemble(cfg, n: int, base_seed: int = 0):
     """Stacked {critic, masker} params from the n per-seed runs
-    `{model}-seed{0..n-1}` — the run-name convention both
-    sandbox/multirun.py (serial) and sandbox/seed_parallel.py
-    (save_checkpoints=True) write. Every leaf gains a leading (n,)
-    seed axis for MaskPipeline(ensemble=True). Raises
+    `{model}-seed{base_seed..base_seed+n-1}` — the run-name convention
+    both sandbox/multirun.py (serial) and sandbox/seed_parallel.py
+    (save_checkpoints=True) write; pass base_seed to serve an ensemble
+    trained with a non-zero run_parallel base_seed (ADVICE r3: the
+    writer stamps {model}-seed{base_seed+r}, so the loader must share
+    the offset — `--ensemble N` assumes base_seed 0). Every leaf gains
+    a leading (n,) seed axis for MaskPipeline(ensemble=True). Raises
     FileNotFoundError naming the first missing checkpoint (unlike
     single-model loading, an ensemble with silently random members
     would corrupt the mean mask). -separate ensembles are rejected:
@@ -130,7 +133,7 @@ def load_seed_ensemble(cfg, n: int):
     # the tunnel, come back for np.stack, and the stacked tree would
     # ship AGAIN via update_params' device_put
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        for s in range(n):
+        for s in range(base_seed, base_seed + n):
             cfg_s = dataclasses.replace(
                 cfg, model=f"{cfg.model}-seed{s}").derive()
             paths = checkpoint_paths(cfg_s)

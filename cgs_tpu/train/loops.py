@@ -56,40 +56,66 @@ def _jit_chunk(chunk: Callable, mesh, n_bank_args: int,
                    donate_argnums=(0,))
 
 
+def _masked_merge(old: TrainState, new: TrainState, v) -> TrainState:
+    """Per-step validity gate for padded tail chunks: an invalid step
+    is the identity (params, Adam moments, AND step counter untouched)
+    — so every chunk of a phase can share ONE compiled shape while the
+    executed step count stays exact (ADVICE r3: a ragged tail shape
+    pays an extra remote compile per phase)."""
+    return jax.tree.map(lambda a, b: jnp.where(v, b, a), old, new)
+
+
 def critic_chunk_fn(cfg, critic, tx: optax.GradientTransformation,
-                    ) -> Callable:
+                    masked: bool = False) -> Callable:
     """Unjitted scanned chunk: (state, x_all u8 (N,...), y_all (N,),
     idx (S,B) i32, key) -> (state, losses (S,)). Runs S optimizer
     steps. Jitted by make_critic_chunk; vmapped over a leading seed
-    axis by sandbox/seed_parallel.py."""
+    axis by sandbox/seed_parallel.py.
+
+    masked=True inserts a `valid` (S,) bool arg BEFORE idx; steps
+    with valid=False are identities (padding rows of a fixed-shape
+    tail chunk; see _masked_merge) and report loss 0."""
     loss_fn = build_critic_loss(cfg, critic)
     use_shift = bool(cfg.shift)
     max_shift = int(cfg.shift)
 
+    def one_step(st, x_all, y_all, bidx, k):
+        xb = jnp.take(x_all, bidx, axis=0)
+        yb = jnp.take(y_all, bidx, axis=0)
+        skey, dkey = jax.random.split(k)
+        if use_shift:
+            xb = shift_batch(skey, xb, max_shift)
+        x = ingest(xb)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            st.params["critic"], x, yb, dkey)
+        updates, opt_state = tx.update(
+            {"critic": grads}, st.opt_state, st.params)
+        params = optax.apply_updates(st.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=st.step + 1), loss
+
     def chunk(state: TrainState, x_all, y_all, idx, key):
-        n_steps = idx.shape[0]
-        keys = jax.random.split(key, n_steps)
+        keys = jax.random.split(key, idx.shape[0])
 
         def body(st, inp):
             bidx, k = inp
-            xb = jnp.take(x_all, bidx, axis=0)
-            yb = jnp.take(y_all, bidx, axis=0)
-            skey, dkey = jax.random.split(k)
-            if use_shift:
-                xb = shift_batch(skey, xb, max_shift)
-            x = ingest(xb)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                st.params["critic"], x, yb, dkey)
-            updates, opt_state = tx.update(
-                {"critic": grads}, st.opt_state, st.params)
-            params = optax.apply_updates(st.params, updates)
-            return TrainState(params=params, opt_state=opt_state,
-                              step=st.step + 1), loss
+            return one_step(st, x_all, y_all, bidx, k)
 
-        state, losses = jax.lax.scan(body, state, (idx, keys))
-        return state, losses
+        return jax.lax.scan(body, state, (idx, keys))
 
-    return chunk
+    def chunk_masked(state: TrainState, x_all, y_all, valid, idx,
+                     key):
+        keys = jax.random.split(key, idx.shape[0])
+
+        def body(st, inp):
+            bidx, v, k = inp
+            st2, loss = one_step(st, x_all, y_all, bidx, k)
+            return (_masked_merge(st, st2, v),
+                    jnp.where(v, loss, 0.0))
+
+        return jax.lax.scan(body, state, (idx, valid, keys))
+
+    return chunk_masked if masked else chunk
 
 
 def make_critic_chunk(cfg, critic, tx: optax.GradientTransformation,
@@ -123,7 +149,8 @@ def make_critic_viz_fn(cfg, critic) -> Callable:
 
 def masker_chunk_fn(cfg, critic, masker,
                     tx: optax.GradientTransformation,
-                    fuse: str = "both") -> Callable:
+                    fuse: str = "both", masked: bool = False,
+                    ) -> Callable:
     """Unjitted scanned chunk: (state, xpos, ypos, xneg, yneg,
     hidx (S,K), lidx (S,K), cidx (S,2K), key) -> (state, losses (S,4)).
 
@@ -132,7 +159,11 @@ def masker_chunk_fn(cfg, critic, masker,
     the shift augmentation. fuse: see build_masker_loss. Passing the
     FULL banks as both pos and neg with absolute h/l/c indices is
     equivalent (used by sandbox/seed_parallel.py to share one bank
-    across vmapped seeds)."""
+    across vmapped seeds).
+
+    masked=True inserts a `valid` (S,) bool arg before hidx; invalid
+    steps are identities with all-zero loss rows (fixed-shape tail
+    chunks, see _masked_merge)."""
     # plain jnp merges: measured faster than the fused Pallas pair
     # (XLA fuses them into the critic convs; see ops/pallas_kernels.py)
     loss_fn = build_masker_loss(cfg, critic, masker, fuse=fuse)
@@ -140,43 +171,55 @@ def masker_chunk_fn(cfg, critic, masker,
     max_shift = int(cfg.shift)
     trained_keys = trained_param_keys(cfg)
 
+    def one_step(st, xpos, ypos, xneg, yneg, h, l, c, k):
+        a_u8 = jnp.concatenate([jnp.take(xpos, h, axis=0),
+                                jnp.take(xneg, l, axis=0)], axis=0)
+        y = jnp.concatenate([jnp.take(ypos, h, axis=0),
+                             jnp.take(yneg, l, axis=0)], axis=0)
+        b_u8 = jnp.take(xneg, c, axis=0)
+        skey, dkey = jax.random.split(k)
+        if use_shift:
+            a_u8 = shift_batch(skey, a_u8, max_shift)
+        a = ingest(a_u8)
+        b = ingest(b_u8)
+        trainable = {n: st.params[n] for n in trained_keys}
+        constant = {n: v for n, v in st.params.items()
+                    if n not in trained_keys}
+        (_, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, constant, a, y, b, dkey)
+        updates, opt_state = tx.update(grads, st.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        params = {**st.params, **new_trainable}
+        losses = jnp.stack([aux["replace"], aux["inject"],
+                            aux["norm"], aux["critic"]])
+        return TrainState(params=params, opt_state=opt_state,
+                          step=st.step + 1), losses
+
     def chunk(state: TrainState, xpos, ypos, xneg, yneg,
               hidx, lidx, cidx, key):
-        n_steps = hidx.shape[0]
-        keys = jax.random.split(key, n_steps)
+        keys = jax.random.split(key, hidx.shape[0])
 
         def body(st, inp):
             (h, l, c), k = inp
-            a_u8 = jnp.concatenate([jnp.take(xpos, h, axis=0),
-                                    jnp.take(xneg, l, axis=0)], axis=0)
-            y = jnp.concatenate([jnp.take(ypos, h, axis=0),
-                                 jnp.take(yneg, l, axis=0)], axis=0)
-            b_u8 = jnp.take(xneg, c, axis=0)
-            skey, dkey = jax.random.split(k)
-            if use_shift:
-                a_u8 = shift_batch(skey, a_u8, max_shift)
-            a = ingest(a_u8)
-            b = ingest(b_u8)
-            trainable = {n: st.params[n] for n in trained_keys}
-            constant = {n: v for n, v in st.params.items()
-                        if n not in trained_keys}
-            (_, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(trainable, constant, a, y, b,
-                                       dkey)
-            updates, opt_state = tx.update(grads, st.opt_state,
-                                           trainable)
-            new_trainable = optax.apply_updates(trainable, updates)
-            params = {**st.params, **new_trainable}
-            losses = jnp.stack([aux["replace"], aux["inject"],
-                                aux["norm"], aux["critic"]])
-            return TrainState(params=params, opt_state=opt_state,
-                              step=st.step + 1), losses
+            return one_step(st, xpos, ypos, xneg, yneg, h, l, c, k)
 
-        state, losses = jax.lax.scan(body, state,
-                                     ((hidx, lidx, cidx), keys))
-        return state, losses
+        return jax.lax.scan(body, state, ((hidx, lidx, cidx), keys))
 
-    return chunk
+    def chunk_masked(state: TrainState, xpos, ypos, xneg, yneg,
+                     valid, hidx, lidx, cidx, key):
+        keys = jax.random.split(key, hidx.shape[0])
+
+        def body(st, inp):
+            (h, l, c), v, k = inp
+            st2, losses = one_step(st, xpos, ypos, xneg, yneg,
+                                   h, l, c, k)
+            return (_masked_merge(st, st2, v),
+                    jnp.where(v, losses, jnp.zeros_like(losses)))
+
+        return jax.lax.scan(body, state,
+                            ((hidx, lidx, cidx), valid, keys))
+
+    return chunk_masked if masked else chunk
 
 
 def make_masker_chunk(cfg, critic, masker,

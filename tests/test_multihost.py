@@ -168,7 +168,7 @@ tx = make_optimizer()
 state = jax.tree.map(np.asarray, sp.init_seed_state(
     {{"critic": jax.tree.map(jnp.asarray, params["critic"])}}, tx))
 chunk = sp.make_seeded_critic_chunk(cfg, critic, tx, mesh=mesh)
-state, losses = chunk(state, x_all, y_all, idx, ck)
+state, losses = chunk(state, x_all, y_all, np.ones(2, bool), idx, ck)
 for shard in losses.addressable_shards:
     r0 = shard.index[0].start or 0
     for j, row in enumerate(np.asarray(shard.data)):
@@ -227,7 +227,8 @@ def test_two_process_seed_parallel_matches_local(tmp_path):
     tx = make_optimizer()
     state = sp.init_seed_state({"critic": params["critic"]}, tx)
     chunk = sp.make_seeded_critic_chunk(cfg, critic, tx)
-    _, ref = chunk(state, x_all, y_all, idx, np.asarray(keys))
+    _, ref = chunk(state, x_all, y_all, np.ones(2, bool), idx,
+                   np.asarray(keys))
     ref = np.asarray(ref)
     for r in range(R):
         np.testing.assert_allclose(got[r], ref[r], rtol=5e-3,

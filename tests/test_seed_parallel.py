@@ -62,7 +62,8 @@ def test_seeded_critic_chunk_matches_serial(setup):
     sstate = sp.init_seed_state(
         {"critic": jax.tree.map(jnp.asarray, params["critic"])}, tx)
     cchunk = sp.make_seeded_critic_chunk(CFG, critic, tx)
-    sstate, vlosses = cchunk(sstate, x_all, y_all, idx, ck)
+    valid = np.ones(3, bool)
+    sstate, vlosses = cchunk(sstate, x_all, y_all, valid, idx, ck)
     vparams = jax.tree.map(np.asarray, sstate.params)
     vlosses = np.asarray(vlosses)
     assert vlosses.shape == (R, 3)
@@ -95,7 +96,8 @@ def test_seeded_masker_chunk_matches_serial(setup):
     mstate = sp.init_seed_state(
         jax.tree.map(jnp.asarray, dict(params)), tx, trained)
     mchunk = sp.make_seeded_masker_chunk(CFG, critic, masker, tx)
-    mstate, vlosses = mchunk(mstate, x_all, y_all, h, l, c, ck)
+    valid = np.ones(3, bool)
+    mstate, vlosses = mchunk(mstate, x_all, y_all, valid, h, l, c, ck)
     vparams = jax.tree.map(np.asarray, mstate.params)
     vlosses = np.asarray(vlosses)
     assert vlosses.shape == (R, 3, 4)
@@ -136,7 +138,8 @@ def test_seed_sharded_mesh_matches_unsharded(setup):
             tx)
         chunk = sp.make_seeded_critic_chunk(CFG, critic, tx,
                                             mesh=mesh_arg)
-        sstate, losses = chunk(sstate, x_all, y_all, idx, ck)
+        sstate, losses = chunk(sstate, x_all, y_all,
+                               np.ones(2, bool), idx, ck)
         return (jax.tree.map(np.asarray, sstate.params),
                 np.asarray(losses))
 
@@ -383,3 +386,46 @@ def test_pop_runs_shared_parsing():
     assert pop_runs(["--model", "m"]) == 1
     with pytest.raises(SystemExit):
         pop_runs(["--model", "m", "--runs"])
+
+
+def test_masked_tail_chunk_is_identity_padding(setup):
+    """The fixed-shape tail contract (ADVICE r3): a chunk padded with
+    garbage steps and valid=False must end in EXACTLY the state of the
+    serial ragged chunk over the valid prefix — params, opt state,
+    step counter, and zero loss rows for the padding. shift=0 config:
+    per-step keys come from split(key, S_total), so a ragged serial
+    chunk draws DIFFERENT shift keys — the identity comparison is
+    defined where no keys are consumed (the drivers' RNG streams are
+    a documented deviation either way, module docstring)."""
+    cfg0 = Config(shift=0, dropout=0.0, batch_size=8).derive()
+    critic, masker, params, x_all, y_all, ck = setup
+    rng = np.random.default_rng(7)
+    s_valid, s_total = 2, 5
+    idx = rng.integers(0, 32, (R, s_total, 8)).astype(np.int32)
+    valid = np.arange(s_total) < s_valid
+
+    tx = make_optimizer()
+    sstate = sp.init_seed_state(
+        {"critic": jax.tree.map(jnp.asarray, params["critic"])}, tx)
+    cchunk = sp.make_seeded_critic_chunk(cfg0, critic, tx)
+    sstate, vlosses = cchunk(sstate, x_all, y_all, valid, idx, ck)
+    vlosses = np.asarray(vlosses)
+    np.testing.assert_array_equal(vlosses[:, s_valid:], 0.0)
+    assert np.asarray(sstate.step).tolist() == [s_valid] * R
+
+    serial = make_critic_chunk(cfg0, critic, make_optimizer())
+    for r in range(R):
+        st = init_train_state(
+            {"critic": _seed_slice(params["critic"], r)},
+            make_optimizer())
+        st, losses = serial(st, x_all, y_all,
+                            jnp.asarray(idx[r, :s_valid]),
+                            jnp.asarray(ck[r]))
+        np.testing.assert_allclose(np.asarray(losses),
+                                   vlosses[r, :s_valid],
+                                   rtol=1e-5, atol=1e-6)
+        for pv, ps in zip(jax.tree.leaves(
+                jax.tree.map(np.asarray, sstate.params)),
+                jax.tree.leaves(jax.tree.map(np.asarray, st.params))):
+            np.testing.assert_allclose(pv[r], ps, rtol=1e-4,
+                                       atol=1e-6)
