@@ -115,8 +115,12 @@ def collect_data(cfg, datadir: str = "runs/data/straight/",
     """
     # the synthetic fixture gets its own cache namespace: the
     # reference-format filename (byte-compatible with upstream caches)
-    # must never be shadowed by fixture data or vice versa
-    envname = f"synthetic-{cfg.envname}" if cfg.synthetic_data \
+    # must never be shadowed by fixture data or vice versa; the hard
+    # variant namespaces separately again (same reasoning)
+    variant = getattr(cfg, "synthetic_variant", "easy")
+    syn_ns = ("synthetic" if variant == "easy"
+              else f"synthetic{variant}")
+    envname = f"{syn_ns}-{cfg.envname}" if cfg.synthetic_data \
         else cfg.envname
     path = cache_path(datadir, envname, cfg.datamode, cfg.datasize,
                       cfg.gammas)
@@ -128,7 +132,8 @@ def collect_data(cfg, datadir: str = "runs/data/straight/",
     gammas = tuple(float(g) for g in cfg.gammas.split("-"))
     if cfg.synthetic_data:
         from cgs_tpu.data.synthetic import synthetic_dataset
-        x, y, i = synthetic_dataset(size, seed=cfg.seed, gammas=gammas)
+        x, y, i = synthetic_dataset(size, seed=cfg.seed, gammas=gammas,
+                                    variant=variant)
         save_cache(path, x, y, i)
         return x, y, i
 

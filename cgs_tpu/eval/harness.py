@@ -69,8 +69,9 @@ def load_eval_set(cfg, evaldatapath: str = "red-trees/",
             gt = np.all(np.load(yp), axis=-1)
         else:
             from cgs_tpu.data.synthetic import synthetic_eval_set
-            xu8, gt = synthetic_eval_set(n_frames=5000,
-                                         seed=cfg.seed + 99)
+            xu8, gt = synthetic_eval_set(
+                n_frames=5000, seed=cfg.seed + 99,
+                variant=getattr(cfg, "synthetic_variant", "easy"))
             x = xu8 / 255.0
     x = x[100:5000:2]           # main.py:927
     gt = gt[100:5000:2]
