@@ -141,6 +141,10 @@ class Config:
     contrastive_min: int = 500   # min pos/neg frames (main.py:281)
     profile: str = ""            # xplane trace dir (jax.profiler)
     crf_rescale: bool = False    # per-frame mask rescale before CRF
+    eval_video_max_frames: int = 0  # cap frames in eval comparison
+                                 # videos (0 = all; the reference
+                                 # renders the full 2450-frame set on
+                                 # every qualifying eval, main.py:1027)
     debug_nan: bool = False      # per-chunk NaN/Inf guards
     serve_wait_ms: float = 2.0   # serve.py micro-batch window
     serve_wire: str = "f32"      # serve mask D2H: f32 | u8 (quantized;
@@ -273,6 +277,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-debug_nan", action="store_true")
     p.add_argument("-orbax", action="store_true")
     p.add_argument("-crf_rescale", action="store_true")
+    p.add_argument("--eval-video-max-frames", type=int, default=0)
     p.add_argument("--serve-wait-ms", type=float, default=2.0)
     p.add_argument("--serve-wire", type=str, default="f32",
                    choices=("f32", "u8"))

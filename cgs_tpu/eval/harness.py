@@ -143,7 +143,14 @@ def evaluate(cfg, pipeline, x: np.ndarray, gt: np.ndarray,
         os.makedirs(out_dir, exist_ok=True)
         video_path = os.path.join(
             cfg.output_video or out_dir, f"iou={ious[0]}.mp4")
-        render_eval_video(video_path, x, gt, variants, ious)
+        # --eval-video-max-frames caps the PIL/ffmpeg render (the
+        # reference re-renders all 2450 frames on every qualifying
+        # eval — minutes of host time per epoch under -directeval;
+        # VERDICT r3 #7). 0 keeps the full-length reference render.
+        render_eval_video(
+            video_path, x, gt, variants, ious,
+            max_frames=getattr(cfg, "eval_video_max_frames", 0)
+            or None)
         result["video"] = video_path
     return result
 
