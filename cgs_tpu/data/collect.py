@@ -163,8 +163,16 @@ def _collect_minerl(cfg, size: int, path: str, gammas):
     I = np.zeros(size, np.uint16)
     runidx = 0
     for name in data.get_trajectory_names():
-        state, _, reward, _, _ = zip(*data.load_data(name))
-        reward = np.asarray(reward)
+        steps = list(data.load_data(name))
+        if not steps:
+            # a truncated/corrupt recording yields zero steps; the
+            # reference's bare `zip(*load_data)` unpacking would
+            # ValueError on it (main.py:1310) — skip and keep
+            # sweeping (documented hardening divergence)
+            print(f"skipping empty trajectory {name}")
+            continue
+        state, _, reward, _, _ = zip(*steps)
+        reward = np.asarray(reward, dtype=np.float32)
         pov = np.stack([s["pov"] for s in state])
         if cfg.datamode == "begin":
             res = begin_filter(pov, reward)

@@ -389,32 +389,62 @@ class Handler:
                                      mesh=self.mesh)
         viz_fn = make_masker_viz_fn(cfg, self.critic, self.masker)
 
-        start_epoch = 0
+        k = 32  # contrastive batch (main.py:309)
+        steps_per_epoch = -(-sets.n_pos // k)     # main.py:342
+
+        # Masker-phase RNG is DERIVED per (epoch, step-in-epoch), not
+        # drawn from the stateful self.rng/self.key chains: a resumed
+        # run then replays the exact index/shift/dropout streams of
+        # the uninterrupted run with no RNG state persisted (VERDICT
+        # r3 #5 — chunk-granular resume must reproduce params
+        # exactly). Deterministic per seed; stream VALUES differ from
+        # the r3 chain (an internal, already-documented deviation).
+        key_base = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed), 0x6d61736b)  # 'mask'
+
+        def chunk_rngs(epoch: int, done: int):
+            crng = np.random.default_rng(np.random.SeedSequence(
+                [cfg.seed, 0x6d61736b, epoch, done]))
+            kk = jax.random.fold_in(
+                jax.random.fold_in(key_base, epoch), done)
+            kchunk, kviz = jax.random.split(kk)
+            if self.mesh is not None:
+                kchunk = replicate_tree(self.mesh, kchunk)
+                kviz = replicate_tree(self.mesh, kviz)
+            return crng, kchunk, kviz
+
+        start_epoch = start_done = 0
         ckpt_mgr = None
         if cfg.orbax:
             from cgs_tpu.train.checkpoints import OrbaxManager
             ckpt_mgr = OrbaxManager(self.save_path + "orbax-masker/")
             restored = ckpt_mgr.restore(state)
             if restored is not None:
-                start_epoch, state, _ = restored
+                # the orbax step is the GLOBAL optimizer step, saved
+                # at every chunk boundary — resume lands mid-epoch
+                # (steps_per_epoch is deterministic: same data, same
+                # loaded critic => same contrastive split)
+                gstep, state, _ = restored
                 state = self._replicate(state)
-                print(f"orbax resume: masker epoch {start_epoch}")
+                start_epoch, start_done = divmod(gstep,
+                                                 steps_per_epoch)
+                print(f"orbax resume: masker epoch {start_epoch} "
+                      f"step {start_done}")
 
-        k = 32  # contrastive batch (main.py:309)
-        steps_per_epoch = -(-sets.n_pos // k)     # main.py:342
         log_rows: List[np.ndarray] = []
         t0 = time.time()
         for epoch in range(start_epoch, cfg.mepochs):
-            done = 0
+            done = start_done if epoch == start_epoch else 0
             while done < steps_per_epoch:
                 s = min(cfg.visevery, steps_per_epoch - done)
-                h, l, c = sample_index_stacks(self.rng, sets.n_pos,
+                crng, kchunk, kviz = chunk_rngs(epoch, done)
+                h, l, c = sample_index_stacks(crng, sets.n_pos,
                                               sets.n_neg, s, k)
                 with self.profiler.annotate("masker_chunk"):
                     state, losses = chunk_fn(
                         state, sets.xpos, sets.ypos, sets.xneg,
                         sets.yneg, self._put_idx(h), self._put_idx(l),
-                        self._put_idx(c), self._next_key())
+                        self._put_idx(c), kchunk)
                 losses = np.asarray(losses)       # (s, 4)
                 if cfg.debug_nan:
                     nan_guard({"losses": losses,
@@ -429,8 +459,7 @@ class Handler:
                 viz = viz_fn(state.params, sets.xpos, sets.ypos,
                              sets.xneg, sets.yneg,
                              np.asarray(h[0]), np.asarray(l[0]),
-                             np.asarray(c[0][:2 * k]),
-                             self._next_key())
+                             np.asarray(c[0][:2 * k]), kviz)
                 if self.primary:
                     viz = {kk: np.asarray(v) for kk, v in viz.items()}
                     annotate_strip(
@@ -450,6 +479,15 @@ class Handler:
                     norm=float(losses[:, 2].mean()),
                     critic=float(losses[:, 3].mean()))
                 done += s
+                if ckpt_mgr is not None:
+                    # chunk-granular (the state is already a complete
+                    # snapshot here; VERDICT r3 #5 — with the default
+                    # mepochs=1, epoch-boundary saves made -orbax
+                    # useless against mid-phase crashes). Collective
+                    # (never gate on primary; CLAUDE.md multi-process
+                    # rules).
+                    ckpt_mgr.save(epoch * steps_per_epoch + done,
+                                  state)
 
             if self.primary:
                 all_losses = np.concatenate(log_rows, axis=0)
@@ -460,9 +498,9 @@ class Handler:
             if not (epoch + 1) % cfg.saveevery:   # main.py:565
                 self._sync_params(state)
                 self.save_models([MASKER])
-            if ckpt_mgr is not None:
-                ckpt_mgr.save(epoch + 1, state)  # collective (see
-                # the critic-phase note)
+            # (orbax epoch-boundary save subsumed by the chunk-
+            # granular save above: the epoch's final chunk IS the
+            # boundary)
             if cfg.directeval:
                 # per-epoch eval + best-IoU tracking — the sandbox's
                 # live feature (TrainHandler.py:1077-1080; dead behind

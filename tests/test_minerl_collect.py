@@ -152,3 +152,113 @@ def test_download_triggered_when_root_missing(fake_minerl, tmp_path,
     collect_data(cfg, datadir=str(tmp_path / "dl") + "/")
     assert calls["download"] == [(str(tmp_path / "empty-root"),
                                   "MineRLTreechopVectorObf-v0")]
+
+
+# -- realistic-shape fixtures (VERDICT r3 #6) -------------------------
+# The happy-path fake above yields python-float rewards and tidy
+# episodes; the real `minerl.data` surface differs in ways that have
+# broken collectors before: numpy-scalar rewards/done flags, truncated
+# recordings that yield ZERO steps (the reference's bare
+# `zip(*load_data)` unpacking crashes, main.py:1310), and episodes
+# longer than 65535 frames that silently WRAP the uint16 frame-index
+# column I (main.py:1298 picked the dtype; clean_data's
+# `deltas < 0` branch exists because of it).
+
+
+def _realistic_episode(seed, n, reward_at=(), shared_pov=None):
+    """Steps shaped as minerl 0.4's DataPipeline.load_data yields
+    them: state/next-state dicts with 'pov' uint8 and 'vector'
+    float32(64), np.float32 reward, np.bool_ done."""
+    rng = np.random.default_rng(seed)
+    pov = (shared_pov if shared_pov is not None
+           else rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    vec = np.zeros(64, np.float32)
+    steps = []
+    rewset = set(reward_at)
+    for t in range(n):
+        r = np.float32(1.0 if t in rewset else 0.0)
+        steps.append(({"pov": pov, "vector": vec}, {"vector": vec},
+                      r, {"pov": pov, "vector": vec},
+                      np.bool_(t == n - 1)))
+    return steps
+
+
+def _install_fake(monkeypatch, tmp_path, episodes):
+    fake = types.ModuleType("minerl")
+    fake.data = types.SimpleNamespace(
+        download=lambda root, experiment: None,
+        make=lambda envid, data_dir, num_workers, worker_batch_size:
+            _FakeData(episodes))
+    monkeypatch.setitem(sys.modules, "minerl", fake)
+    root = tmp_path / "mineroot2"
+    (root / "MineRLTreechopVectorObf-v0").mkdir(parents=True)
+    monkeypatch.setenv("MINERL_DATA_ROOT", str(root))
+
+
+def test_numpy_scalar_rewards_and_done(monkeypatch, tmp_path):
+    """np.float32 rewards / np.bool_ done through the full sweep:
+    binarization and the Y recursion must behave exactly as with
+    python floats."""
+    episodes = {"ep0": _realistic_episode(0, 120, reward_at=(30, 90))}
+    _install_fake(monkeypatch, tmp_path, episodes)
+    cfg = _cfg(tmp_path, datasize=100, testsize=20)
+    x, y, i = collect_data(cfg, datadir=str(tmp_path / "np") + "/")
+    assert y.dtype == np.float32
+    assert set(np.unique(y[0])) <= {0.0, 1.0}
+    assert y[0].sum() >= 1
+
+
+def test_empty_trajectory_is_skipped_not_fatal(monkeypatch, tmp_path,
+                                               capsys):
+    """A truncated recording yields zero steps; the sweep must skip it
+    and keep collecting (the reference's zip(*) unpacking would raise
+    ValueError there — documented hardening divergence)."""
+    episodes = {
+        "ep0_empty": [],
+        "ep1": _realistic_episode(1, 120, reward_at=(50,)),
+    }
+    _install_fake(monkeypatch, tmp_path, episodes)
+    cfg = _cfg(tmp_path, datasize=60, testsize=20)
+    x, y, i = collect_data(cfg, datadir=str(tmp_path / "mt") + "/")
+    assert "skipping empty trajectory ep0_empty" in \
+        capsys.readouterr().out
+    assert x.shape[0] > 0
+
+
+@pytest.mark.slow
+def test_uint16_index_wraps_on_long_episodes(monkeypatch, tmp_path):
+    """Episodes >65535 frames overflow the uint16 I column — the
+    reference's dtype choice (main.py:1298) WRAPS the frame-in-episode
+    index. Pin the wrap (I == arange % 2**16) so a future dtype or
+    indexing change cannot silently alter cache semantics, and check
+    clean_data's negative-delta dedupe branch still accepts chops
+    across the wrap."""
+    n = 70_000
+    shared = np.zeros((64, 64, 3), np.uint8)  # aliased pov: the
+    # episode is long, not image-diverse
+    episodes = {"long": _realistic_episode(
+        3, n, reward_at=(200, 65_000, 66_000, 69_500),
+        shared_pov=shared)}
+    _install_fake(monkeypatch, tmp_path, episodes)
+    cfg = _cfg(tmp_path, datasize=68_000, testsize=1_000)
+    x, y, i = collect_data(cfg, datadir=str(tmp_path / "long") + "/")
+
+    kept = x.shape[0]
+    assert kept > 66_000          # past the uint16 range
+    assert i.dtype == np.uint16
+    # trunk filter drops 35-post-reward windows, so the kept frames'
+    # original indices are NOT arange — recompute the expectation
+    from cgs_tpu.data.collect import trunk_filter
+    reward = np.zeros(n, np.float32)
+    reward[[200, 65_000, 66_000, 69_500]] = 1
+    pov_idx = np.arange(n)
+    mask_kept = trunk_filter(pov_idx[:, None], reward)[0][:, 0]
+    expect = np.arange(len(mask_kept))[:kept].astype(np.uint16)
+    np.testing.assert_array_equal(i, expect)
+    assert i.max() == 65_535 and int(i[-1]) < 5_000  # wrapped
+
+    # clean_data's wrap branch: deltas < 0 must be ACCEPTED chops
+    from cgs_tpu.data.collect import clean_data
+    xc, yc, ic = clean_data(cfg, x=x, y=y, i=i,
+                            datadir=str(tmp_path / "long") + "/")
+    assert xc.shape[0] > 0 and yc.sum() > 0

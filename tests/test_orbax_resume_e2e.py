@@ -55,3 +55,68 @@ def test_critic_resume_from_orbax(workdir, capsys):
     assert "orbax resume: critic epoch 4" in capsys.readouterr().out
     np.testing.assert_array_equal(
         params_after_4, np.asarray(h3.params[CRITIC]["conv0"]["kernel"]))
+
+
+def _mcfg(**kw):
+    # the critic needs the e2e budget (test_e2e_synthetic.py) to
+    # clear the 0.7/0.3 contrastive thresholds; visevery=4 keeps
+    # several chunks per masker epoch for the mid-epoch crash
+    base = dict(train=True, synthetic_data=True, datasize=2000,
+                testsize=200, cepochs=8, mepochs=2, visevery=4,
+                dropout=0.0, shift=0, orbax=True, cload=False,
+                contrastive_min=100, model="mresrun")
+    base.update(kw)
+    return Config(**base).derive()
+
+
+def test_masker_chunk_resume_reproduces_uninterrupted(workdir,
+                                                      capsys):
+    """VERDICT r3 #5: kill the masker phase mid-epoch at a chunk
+    boundary; the resumed run must end with EXACTLY the params of an
+    uninterrupted run — chunk-granular orbax saves + RNG streams
+    derived per (epoch, step) make the replay exact."""
+    from cgs_tpu.handler import MASKER
+
+    # uninterrupted reference run
+    h0 = Handler(_mcfg(model="mref"))
+    h0.load_data()
+    h0.critic_pipe()
+    h0.segmentation_training()
+    want = {k: np.asarray(v["kernel"]).copy()
+            for k, v in h0.params[MASKER].items()}
+
+    # interrupted run: same seed; crash after the 2nd masker chunk
+    # (orbax has saved at every chunk boundary by then)
+    h1 = Handler(_mcfg())
+    h1.load_data()
+    h1.critic_pipe()
+    chunks = {"n": 0}
+    orig = np.asarray  # count chunk-loss readbacks as a proxy? no —
+    # intercept the metrics writer: one masker_loss row per chunk
+    real_write = h1.metrics.write
+
+    def crashing_write(kind, **kw):
+        real_write(kind, **kw)
+        if kind == "masker_loss":
+            chunks["n"] += 1
+            if chunks["n"] == 2:
+                raise KeyboardInterrupt("simulated crash")
+
+    h1.metrics.write = crashing_write
+    with pytest.raises(KeyboardInterrupt):
+        h1.segmentation_training()
+    h1.close()
+
+    # resume: fresh handler, same config -> trains the REMAINING
+    # chunks only and lands on the uninterrupted params
+    h2 = Handler(_mcfg())
+    h2.load_data()
+    h2.critic_pipe()
+    h2.segmentation_training()
+    out = capsys.readouterr().out
+    assert "orbax resume: masker epoch" in out
+    got = {k: np.asarray(v["kernel"])
+           for k, v in h2.params[MASKER].items()}
+    for k in want:
+        np.testing.assert_array_equal(want[k], got[k],
+                                      err_msg=f"masker {k}")
