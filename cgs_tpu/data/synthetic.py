@@ -132,8 +132,14 @@ def _render_hard(rng, mask: np.ndarray, distr: np.ndarray,
     w = mask.shape[0]
     c0, c1 = bg_anchors
     base_mean = c0 + (c1 - c0) * phase          # within-episode drift
+    # low-amplitude noise (+-8, not +-25): blend seams from a partial
+    # mask must stay VISIBLE against the background — the inject
+    # loss's whole job is to forbid the critic/masker co-adaptation
+    # that scores 30%-blended trunks as "removed" (the noinject
+    # cheat); heavy background noise hides those seams and the cheat
+    # stops costing anything (measured: noinject BEAT full at +-25)
     base = base_mean[None, None, :] + rng.integers(
-        -25, 26, (w, w, 3)).astype(np.float32)
+        -8, 9, (w, w, 3)).astype(np.float32)
     frame = np.clip(base, 0, 255).astype(np.int32)
     if distr.any():
         pal = _object_palette(rng, (w, w))
