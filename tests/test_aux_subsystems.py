@@ -195,6 +195,7 @@ def test_pipeline_empty_input_returns_empty_output():
     assert out.preds.shape == (0,) and out.masks.shape == (0, 64, 64, 1)
 
 
+@pytest.mark.slow  # profiled two-phase training run (~2.3 min, 1 CPU)
 def test_profile_trace_spans_both_phases(tmp_path, monkeypatch):
     """--profile through the CLI produces an xplane trace even when
     the critic phase short-circuits via cload (the round-2 review

@@ -57,6 +57,7 @@ def test_ensemble_pipeline_is_mean_of_members(stacked, rng):
         rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow  # meshed-vs-unmeshed ensemble forward (~50 s, 1 CPU)
 def test_seed_sharded_ensemble_matches_unmeshed(rng):
     """ensemble + mesh => seed-per-device shard_map (pipeline.py):
     R=4 members over a 2-wide 'data' axis (2 local seeds per device,

@@ -129,6 +129,7 @@ def test_extension_batch_size_flag():
     assert parse_args(["--batch-size", "128"]).batch_size == 128
 
 
+@pytest.mark.slow  # full two-phase train with per-epoch eval (~3 min, 1 CPU)
 def test_directeval_wiring(tmp_path, monkeypatch):
     """-directeval runs eval() before each phase and per masker epoch,
     updating the best-IoU tracker only on improvement

@@ -13,6 +13,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -24,6 +26,7 @@ def _fresh_env():
     return env
 
 
+@pytest.mark.slow  # 8-device dryrun in a fresh process (~1.6 min; entry smoke stays fast)
 def test_dryrun_multichip_fresh_process():
     proc = subprocess.run(
         [sys.executable, "-c",

@@ -84,6 +84,7 @@ def test_seeded_critic_chunk_matches_serial(setup):
                                        atol=1e-6)
 
 
+@pytest.mark.slow  # 12-step sharded-vs-serial masker chunk (~2 min, 1 CPU)
 def test_seeded_masker_chunk_matches_serial(setup):
     critic, masker, params, x_all, y_all, ck = setup
     rng = np.random.default_rng(2)
@@ -118,6 +119,7 @@ def test_seeded_masker_chunk_matches_serial(setup):
                                        atol=1e-6)
 
 
+@pytest.mark.slow  # meshed-vs-vmapped chunk equivalence (~80 s, 1 CPU)
 def test_seed_sharded_mesh_matches_unsharded(setup):
     """8 seeds sharded over the 8-device 'data' axis (seed-per-device)
     == the same 8 seeds vmapped unsharded."""
@@ -327,6 +329,7 @@ def test_eval_seeds_separate_uses_sepcrit_embeds(setup):
     assert not np.allclose(got, wrong)
 
 
+@pytest.mark.slow  # contrastive sweep + eval over sharded params (~3.5 min)
 def test_sweep_and_eval_handle_seed_sharded_params(setup):
     """Regression for the GSPMD-bug defense (_unshard): params left
     P('data')-sharded by a meshed training chunk must give the same

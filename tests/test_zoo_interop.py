@@ -166,6 +166,7 @@ def test_vgg_critic_parity(frames):
     np.testing.assert_allclose(got, want.reshape(got.shape), atol=1e-10)
 
 
+@pytest.mark.slow  # full VGG11 tower vs torchvision-layout replica (~50 s)
 def test_vgg_features_embedder_parity(frames):
     """VGGEmbedder grammar (prefix 'model', no head, nets.py:733-748):
     backbone output + the 64x64-bilinear-resized post-ReLU embeds."""
