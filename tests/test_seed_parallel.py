@@ -119,6 +119,59 @@ def test_seeded_masker_chunk_matches_serial(setup):
                                        atol=1e-6)
 
 
+@pytest.mark.slow  # 3 variants x 2-step chunks vs serial (~2 min, 1 CPU)
+@pytest.mark.parametrize("variant", ["frozen", "noinject", "separate"])
+def test_seeded_masker_chunk_matches_serial_variants(setup, variant):
+    """Ablation-variant parity: the seeded masker chunk must equal the
+    serial chunk per seed under -frozen (critic not differentiated,
+    main.py:330-334), -noinject (inject term dropped, main.py:411-418)
+    and -separate (sepcrit trained alongside, main.py:946-947) — the
+    stop-grad/trained-keys topology must survive the vmap+shard path
+    used for the 10-seed ablation tables in RESULTS.md."""
+    critic, masker, _, x_all, y_all, ck = setup
+    cfg = Config(shift=4, dropout=0.0, batch_size=8,
+                 **{variant: True}).derive()
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(R, dtype=np.uint32))
+    params = jax.tree.map(np.asarray, sp.init_seed_params(
+        critic, masker, keys, separate=cfg.separate))
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 32, (R, 2, 32)).astype(np.int32)
+    l = rng.integers(0, 32, (R, 2, 32)).astype(np.int32)
+    c = rng.integers(0, 32, (R, 2, 64)).astype(np.int32)
+
+    tx = make_optimizer()
+    trained = trained_param_keys(cfg)
+    mstate = sp.init_seed_state(
+        jax.tree.map(jnp.asarray, dict(params)), tx, trained)
+    mchunk = sp.make_seeded_masker_chunk(cfg, critic, masker, tx)
+    valid = np.ones(2, bool)
+    mstate, vlosses = mchunk(mstate, x_all, y_all, valid, h, l, c, ck)
+    vparams = jax.tree.map(np.asarray, mstate.params)
+    vlosses = np.asarray(vlosses)
+    if variant == "frozen":   # critic params must be bit-unchanged
+        for pv, p0 in zip(jax.tree.leaves(vparams["critic"]),
+                          jax.tree.leaves(params["critic"])):
+            np.testing.assert_array_equal(pv, p0)
+    if variant == "noinject":  # the inject column is zeroed
+        # row layout [replace, inject, norm, critic], loops.py:193
+        np.testing.assert_allclose(vlosses[..., 1], 0.0, atol=1e-7)
+
+    serial = make_masker_chunk(cfg, critic, masker, make_optimizer())
+    for r in range(R):
+        st = init_train_state(_seed_slice(params, r),
+                              make_optimizer(), trained)
+        st, losses = serial(st, x_all, y_all, x_all, y_all,
+                            jnp.asarray(h[r]), jnp.asarray(l[r]),
+                            jnp.asarray(c[r]), jnp.asarray(ck[r]))
+        np.testing.assert_allclose(np.asarray(losses), vlosses[r],
+                                   rtol=1e-4, atol=1e-6)
+        for pv, ps in zip(jax.tree.leaves(vparams),
+                          jax.tree.leaves(jax.tree.map(np.asarray,
+                                                       st.params))):
+            np.testing.assert_allclose(pv[r], ps, rtol=1e-4,
+                                       atol=1e-6)
+
+
 @pytest.mark.slow  # meshed-vs-vmapped chunk equivalence (~80 s, 1 CPU)
 def test_seed_sharded_mesh_matches_unsharded(setup):
     """8 seeds sharded over the 8-device 'data' axis (seed-per-device)
