@@ -484,7 +484,13 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
             print(f"[seed-parallel] masker epoch {epoch + 1}/"
                   f"{cfg.mepochs} replace/seed {ll[:, 0].round(4)}",
                   flush=True)
-    params = {**params, **{k: mstate.params[k] for k in trained}}
+    # take EVERY sub-tree from the output state, not just the trained
+    # ones: the first mchunk call DONATED the input state, so the
+    # pre-phase `params` entries it aliased (the critic under -frozen,
+    # where it is constant) now reference deleted device buffers. The
+    # chunk threads constants through unchanged — the output state is
+    # the only live copy of every sub-tree.
+    params = {**params, **dict(mstate.params)}
 
     if save_checkpoints:
         import dataclasses

@@ -314,6 +314,37 @@ def test_run_parallel_e2e_synthetic(tmp_path, monkeypatch):
     assert not np.array_equal(leaf(got[0][0]), leaf(final_c0))
 
 
+@pytest.mark.slow  # two-phase frozen run (~3 min, 1 CPU)
+def test_run_parallel_e2e_frozen(tmp_path, monkeypatch):
+    """-frozen through the parallel driver: with the critic constant
+    in phase 2 it is NOT in the trained set, yet the first donated
+    mchunk call deletes the pre-phase param buffers — eval must read
+    the output state's pass-through copy, not the deleted input
+    (regression: RuntimeError 'Array has been deleted' at
+    eval_seeds)."""
+    from cgs_tpu.data.synthetic import synthetic_dataset, synthetic_eval_set
+
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(shift=4, dropout=0.0, batch_size=32, cepochs=6,
+                 mepochs=1, testsize=100, high_rew_thresh=0.55,
+                 low_rew_thresh=0.45, contrastive_min=5,
+                 frozen=True, model="spf").derive()
+    x, y, _ = synthetic_dataset(n_frames=1200, seed=0)
+    xe, gt = synthetic_eval_set(n_frames=64, seed=99)
+    out = sp.run_parallel(cfg, x, y, runs=2, base_seed=0,
+                          x_eval=xe, gt_eval=gt,
+                          results_path=None, chunk_steps=16,
+                          verbose=False, save_checkpoints=False)
+    assert np.isfinite(out["ious"]).all()
+    assert np.isfinite(out["masker_losses"]).all()
+    # frozen: the critic is excluded from the phase-2 trained set and
+    # the returned pass-through copy must be live and readable
+    assert "critic" not in trained_param_keys(cfg)
+    for leaf in jax.tree.leaves(
+            jax.tree.map(np.asarray, out["params"]["critic"])):
+        assert np.isfinite(leaf).all()
+
+
 @pytest.mark.xfail(
     strict=False,
     reason="jax 0.9.0 GSPMD miscompiles batch-sharded "
