@@ -1,0 +1,127 @@
+"""Paired ablation sweep over the paper's three ablation flags.
+
+The reference's ablation table ("IoU mean over 10 training seeds",
+docs/index.html; the flags at main.py:1468-1476) compares the full
+model against `-noinject` / `-frozen` / `-separate`, each trained
+independently per seed. This driver runs all four variants through
+`sandbox.seed_parallel` with the SAME base seeds — identical data,
+identical per-seed RNG streams — so the per-seed IoU deltas are
+PAIRED, which is what makes 10-seed orderings on a high-variance
+fixture interpretable at all (RESULTS.md "Scaling the ablation to 10
+paired seeds": per-seed outcomes on the hard fixture are bimodal, and
+unpaired 3-seed means reversed under replication).
+
+Usage (one command reproduces the RESULTS.md tables):
+
+    python -m cgs_tpu.sandbox.ablation --runs 10 -synthetic_data \
+        --synthetic-variant hard --datasize 20000 --cepochs 10 \
+        --mepochs 12 --model abl
+
+Each variant trains as one vmapped/seed-sharded program (seed axis
+over the mesh when available), saves per-seed checkpoints under
+`{model}-{variant}-seed{s}/saves/`, and appends its row to
+results.txt; the sweep then appends a paired summary block.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+#: variant -> extra CLI flag (the reference's spellings,
+#: main.py:1468-1476); the full model adds none.
+VARIANT_FLAGS = {
+    "full": [],
+    "noinject": ["-noinject"],
+    "frozen": ["-frozen"],
+    "separate": ["-separate"],
+}
+
+
+def _reject_variant_flags(argv: Sequence[str]) -> None:
+    present = [f for flags in VARIANT_FLAGS.values()
+               for f in flags if f in argv]
+    if present:
+        raise SystemExit(
+            f"ablation sweeps all of -noinject/-frozen/-separate "
+            f"itself — drop {present} from the base args")
+
+
+def _with_variant(argv: List[str], variant: str) -> List[str]:
+    """Base args + the variant flag, with --model suffixed so the four
+    variants' run directories (and their per-seed checkpoint dirs)
+    cannot collide."""
+    out = list(argv)
+    for i, tok in enumerate(out):
+        if tok == "--model" and i + 1 < len(out):
+            out[i + 1] = f"{out[i + 1]}-{variant}"
+            break
+        if tok.startswith("--model="):
+            out[i] = f"{tok}-{variant}"
+            break
+    else:
+        out += ["--model", f"ablation-{variant}"]
+    return out + VARIANT_FLAGS[variant]
+
+
+def paired_summary(results: Dict[str, dict]) -> str:
+    """Paired-delta table vs the full model: per-variant mean ± std
+    and the paired Δ mean ± sem with the above/below-full seed count.
+    results: variant -> the seed_parallel output dict (needs 'ious')."""
+    full = np.asarray(results["full"]["ious"], dtype=np.float64)
+    n = len(full)
+    lines = [f"paired ablation over {n} shared seeds "
+             "(delta = variant - full, per seed):"]
+    for variant, out in results.items():
+        v = np.asarray(out["ious"], dtype=np.float64)
+        row = (f"  {variant:9s} mean {v.mean():.3f} +- {v.std():.3f}")
+        if variant != "full":
+            d = v - full
+            sem = (d.std(ddof=1) / np.sqrt(n)) if n > 1 else 0.0
+            row += (f"  paired d {d.mean():+.3f} +- {sem:.3f}sem "
+                    f"({int((d > 0).sum())}/{n} above full)")
+        lines.append(row)
+    return "\n".join(lines)
+
+
+def run_ablation(argv: List[str], runs: int,
+                 variants: Sequence[str] = tuple(VARIANT_FLAGS),
+                 results_path: Optional[str] = "results.txt",
+                 ) -> Dict[str, dict]:
+    """Train `runs` seeds of every variant (seed_parallel.main per
+    variant — same base seeds across variants by construction) and
+    append the paired summary to results_path. Returns
+    {variant: seed_parallel output}."""
+    from cgs_tpu.sandbox import seed_parallel
+
+    _reject_variant_flags(argv)
+    if "full" not in variants:
+        raise SystemExit("the paired summary needs the 'full' baseline")
+    results: Dict[str, dict] = {}
+    for variant in variants:
+        vargv = _with_variant(argv, variant) + ["--runs", str(runs)]
+        print(f"[ablation] {variant}: {' '.join(vargv)}", flush=True)
+        results[variant] = seed_parallel.main(vargv)
+
+    summary = paired_summary(results)
+    print(summary, flush=True)
+    if results_path:
+        with open(results_path, "a") as fp:
+            fp.write(summary + "\n")
+    return results
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, dict]:
+    """`python -m cgs_tpu.sandbox.ablation --runs N <cli args>`."""
+    import sys
+
+    from cgs_tpu.sandbox.multirun import pop_runs
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    runs = pop_runs(argv)
+    return run_ablation(argv, runs)
+
+
+if __name__ == "__main__":
+    main()

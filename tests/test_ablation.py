@@ -1,0 +1,90 @@
+"""sandbox/ablation.py: paired 4-variant sweep driver.
+
+The training itself is seed_parallel (covered by
+test_seed_parallel.py, incl. seeded-vs-serial parity for the ablation
+variants); here we pin the DRIVER contract: flag injection, model
+suffixing, shared --runs, the paired-delta summary math, and the
+guard rails."""
+
+import numpy as np
+import pytest
+
+from cgs_tpu.sandbox import ablation
+
+
+def _fake_seed_parallel(calls, ious_by_variant):
+    def fake_main(argv):
+        calls.append(list(argv))
+        # identify the variant by its flag (full = none present)
+        present = [v for v, fs in ablation.VARIANT_FLAGS.items()
+                   if fs and set(fs) <= set(argv)]
+        variant = present[0] if present else "full"
+        return {"ious": ious_by_variant[variant]}
+    return fake_main
+
+
+IOUS = {
+    "full": [0.6, 0.7, 0.5],
+    "noinject": [0.5, 0.6, 0.45],
+    "frozen": [0.7, 0.8, 0.6],
+    "separate": [0.4, 0.5, 0.3],
+}
+
+
+def test_run_ablation_paired_flow(monkeypatch, tmp_path):
+    calls = []
+    from cgs_tpu.sandbox import seed_parallel
+    monkeypatch.setattr(seed_parallel, "main",
+                        _fake_seed_parallel(calls, IOUS))
+    results_path = str(tmp_path / "results.txt")
+    out = ablation.run_ablation(
+        ["-synthetic_data", "--model", "abl"], runs=3,
+        results_path=results_path)
+
+    # one call per variant, each with the suffixed model, the shared
+    # --runs, and exactly its own flag
+    assert len(calls) == 4
+    for argv, variant in zip(calls, ablation.VARIANT_FLAGS):
+        assert argv[argv.index("--model") + 1] == f"abl-{variant}"
+        assert argv[argv.index("--runs") + 1] == "3"
+        for other, flags in ablation.VARIANT_FLAGS.items():
+            for f in flags:
+                assert (f in argv) == (other == variant)
+
+    summary = open(results_path).read()
+    # paired deltas vs full: frozen +0.1 (3/3 above), separate -0.2
+    assert "frozen" in summary and "+0.100" in summary
+    assert "3/3 above full" in summary
+    assert "-0.200" in summary
+    assert out["full"]["ious"] == IOUS["full"]
+
+
+def test_paired_summary_math():
+    res = {v: {"ious": IOUS[v]} for v in IOUS}
+    s = ablation.paired_summary(res)
+    full = np.array(IOUS["full"])
+    d = np.array(IOUS["noinject"]) - full
+    sem = d.std(ddof=1) / np.sqrt(3)
+    assert f"{d.mean():+.3f} +- {sem:.3f}sem" in s
+    assert "0/3 above full" in s
+
+
+def test_model_eq_form_suffixed():
+    argv = ablation._with_variant(["--model=abl"], "frozen")
+    assert "--model=abl-frozen" in argv and "-frozen" in argv
+
+
+def test_missing_model_gets_default():
+    argv = ablation._with_variant(["-synthetic_data"], "separate")
+    assert argv[argv.index("--model") + 1] == "ablation-separate"
+
+
+def test_rejects_preset_variant_flags():
+    with pytest.raises(SystemExit):
+        ablation.run_ablation(["-frozen", "--model", "x"], runs=2)
+
+
+def test_requires_full_baseline():
+    with pytest.raises(SystemExit):
+        ablation.run_ablation(["--model", "x"], runs=2,
+                              variants=("frozen", "separate"))
