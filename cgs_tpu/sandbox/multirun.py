@@ -58,18 +58,24 @@ def _seeded_name(argv: List[str], seed: int) -> str:
     return f"{name}-seed{seed}"
 
 
+def pop_int(argv: List[str], flag: str, default: int) -> int:
+    """Extract `<flag> N` from argv IN PLACE — for driver-level flags
+    the Config grammar must not learn (they are not reference flags)."""
+    if flag not in argv:
+        return default
+    i = argv.index(flag)
+    if i + 1 >= len(argv):
+        raise SystemExit(f"{flag} requires a value")
+    value = int(argv[i + 1])
+    del argv[i:i + 2]
+    return value
+
+
 def pop_runs(argv: List[str], default: int = 1) -> int:
     """Extract `--runs N` from argv IN PLACE (shared by the serial and
     seed-parallel CLI entries; upstream parses the flag but never
     reads it, TrainHandler.py:4024 is the living version)."""
-    if "--runs" not in argv:
-        return default
-    i = argv.index("--runs")
-    if i + 1 >= len(argv):
-        raise SystemExit("--runs requires a value")
-    runs = int(argv[i + 1])
-    del argv[i:i + 2]
-    return runs
+    return pop_int(argv, "--runs", default)
 
 
 def main(argv: Optional[List[str]] = None) -> None:

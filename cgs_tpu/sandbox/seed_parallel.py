@@ -33,6 +33,13 @@ silent):
   * per-chunk viz strips / loss PNGs are not rendered (artifact
     parity lives in the serial Handler path); eval is the on-device
     IoU, without the CRF/saliency variants.
+
+Single-chip capacity: the masker chunk's live state scales with
+R x chunk_steps (the scan keeps R seed states + per-step gathered
+batches); measured on a 16 GB v5e-1 at the 40k-frame protocol,
+R=30 @ chunk_steps=100 needs 17.8 GB and fails to compile while
+R=20 fits. Lower `--chunk-steps` (CLI) / chunk_steps= (API) to trade
+dispatch count for memory, or shard the seed axis over a mesh.
 """
 
 from __future__ import annotations
@@ -556,8 +563,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
     from cgs_tpu.parallel.mesh import local_mesh_or_none
 
     argv = list(argv if argv is not None else sys.argv[1:])
-    from cgs_tpu.sandbox.multirun import pop_runs
+    from cgs_tpu.sandbox.multirun import pop_int, pop_runs
     runs = pop_runs(argv)
+    # --chunk-steps: single-chip HBM headroom knob (module docstring
+    # "Single-chip capacity"); smaller chunks = less live scan state
+    # per dispatch at more dispatches
+    chunk_steps = pop_int(argv, "--chunk-steps", 100)
     cfg = parse_args(argv)
     x, y, _ = collect_data(cfg)
     x_eval, gt = synthetic_eval_set(
@@ -567,6 +578,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     out = run_parallel(cfg, x, y, runs,
                        mesh=local_mesh_or_none(cfg),
                        x_eval=x_eval, gt_eval=gt,
+                       chunk_steps=chunk_steps,
                        save_checkpoints=True)
     if "ious" in out:
         print(f"[seed-parallel] ious={np.round(out['ious'], 3)} "

@@ -475,6 +475,34 @@ def test_pop_runs_shared_parsing():
         pop_runs(["--model", "m", "--runs"])
 
 
+def test_chunk_steps_cli_threads_to_run_parallel(monkeypatch):
+    """`--chunk-steps` is the single-chip HBM headroom knob (module
+    docstring: R=30 @ 100 steps OOMs a 16 GB v5e at the 40k protocol)
+    — pin that the driver-level flag reaches run_parallel and never
+    leaks into the Config grammar."""
+    import cgs_tpu.sandbox.seed_parallel as sp
+
+    seen = {}
+
+    def fake_run_parallel(cfg, x, y, runs, **kw):
+        seen["chunk_steps"] = kw.get("chunk_steps")
+        seen["runs"] = runs
+        return {}
+
+    monkeypatch.setattr(sp, "run_parallel", fake_run_parallel)
+    monkeypatch.setattr("cgs_tpu.data.collect.collect_data",
+                        lambda cfg: (np.zeros((4, 64, 64, 3), np.uint8),
+                                     np.zeros((7, 4), np.float32),
+                                     np.zeros(4, np.uint16)))
+    monkeypatch.setattr(
+        "cgs_tpu.data.synthetic.synthetic_eval_set",
+        lambda **kw: (np.zeros((200, 64, 64, 3), np.uint8),
+                      np.zeros((200, 64, 64), bool)))
+    sp.main(["--model", "m", "--runs", "3", "--chunk-steps", "7",
+             "-synthetic_data"])
+    assert seen == {"chunk_steps": 7, "runs": 3}
+
+
 def test_masked_tail_chunk_is_identity_padding(setup):
     """The fixed-shape tail contract (ADVICE r3): a chunk padded with
     garbage steps and valid=False must end in EXACTLY the state of the
