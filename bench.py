@@ -105,15 +105,18 @@ def main():
                 float(ck)
             break
         except Exception as e:
-            if attempt:
+            # retry ONLY the known-transient tunnel states; a
+            # deterministic failure (shape bug, OOM) must surface
+            # immediately, not after a pointless 15 s pause
+            # (ADVICE r3 / VERDICT r4 weak #6)
+            transient = any(s in f"{type(e).__name__}: {e}" for s in
+                            ("FAILED_PRECONDITION", "UNAVAILABLE",
+                             "DEADLINE_EXCEEDED", "ABORTED"))
+            if attempt or not transient:
                 raise
-            # surface the swallowed first attempt (ADVICE r3): a
-            # deterministic failure (shape bug, OOM) should not hide
-            # behind the transient-tunnel retry's 15 s pause
-            print(f"[bench] warmup attempt 1 failed "
-                  f"({type(e).__name__}: {e}); retrying once in 15 s "
-                  "in case it is the transient tunnel "
-                  "FAILED_PRECONDITION", flush=True)
+            print(f"[bench] warmup attempt 1 failed with transient "
+                  f"tunnel error ({type(e).__name__}: {e}); retrying "
+                  "once in 15 s", flush=True)
             time.sleep(15)
             frames = jax.jit(
                 lambda k: jax.random.randint(k, (batch, 64, 64, 3),
@@ -250,42 +253,60 @@ def _host_fed(jax, jnp, critic, masker, cp, mp, MaskPipeline, batch):
     chip (each 64x64 RGB frame is 12 KB up + ~20 KB of outputs down);
     reported for completeness per VERDICT r1 #6, budget-gated so it
     can never cost the headline (the round-2 failure mode)."""
-    if remaining() < 60:
+    if remaining() < 90:
         return {}
     # wire='u8' + in-graph binarization IS the production -process
     # path now (Handler.segment selects it whenever -crf is off;
     # VERDICT r3 #4) — mask D2H drops f32 16 KB/frame -> uint8
-    # 4(+4 hard) KB/frame on this transfer-bound path
-    host_pipe = MaskPipeline(critic, masker,
-                             {"critic": cp, "masker": mp},
-                             batch_size=min(batch, 4096),
-                             wire="u8", hard_threshold=0.5)
-    host_frames = np.random.default_rng(0).integers(
-        0, 256, (4096, 64, 64, 3), dtype=np.uint8)
-    host_pipe.run(host_frames)  # compile + warm AT THE TIMED SHAPE
-    if remaining() < 20:
-        return {}
-    t0 = time.time()
-    host_pipe.run(host_frames)
-    host_fps = host_frames.shape[0] / (time.time() - t0)
-    out = {
-        "host_fed_frames_per_sec": round(host_fps, 1),
-        "host_fed_note": "u8 wire (the -process default); bounded by "
-                         "this harness's ~22MB/s tunnel, not the chip;"
-                         " see RESULTS.md",
-    }
-    if remaining() < 30:
-        return out
+    # 4(+4 hard) KB/frame on this transfer-bound path.
+    #
+    # Up to 5 INTERLEAVED u8/f32 trials (VERDICT r4 weak #1 / next #3):
+    # the tunnel's load swings 2x on minute timescales, so a single
+    # A-then-B shot cannot rank the wires — interleaving puts both
+    # wires under the same load profile; median + min/max expose the
+    # spread the driver saw.
+    n_frames = 4096
+    u8_pipe = MaskPipeline(critic, masker,
+                           {"critic": cp, "masker": mp},
+                           batch_size=min(batch, n_frames),
+                           wire="u8", hard_threshold=0.5)
     f32_pipe = MaskPipeline(critic, masker,
                             {"critic": cp, "masker": mp},
-                            batch_size=min(batch, 4096))
+                            batch_size=min(batch, n_frames))
+    host_frames = np.random.default_rng(0).integers(
+        0, 256, (n_frames, 64, 64, 3), dtype=np.uint8)
+    u8_pipe.run(host_frames)   # compile + warm AT THE TIMED SHAPE
     f32_pipe.run(host_frames)
-    if remaining() < 20:
-        return out
-    t0 = time.time()
-    f32_pipe.run(host_frames)
-    out["host_fed_f32_frames_per_sec"] = round(
-        host_frames.shape[0] / (time.time() - t0), 1)
+    u8_fps, f32_fps = [], []
+    for _ in range(5):
+        # one timed pass per wire per trial, u8/f32 back-to-back so a
+        # tunnel-load swing hits both wires of a trial roughly equally
+        if remaining() < 2 * 1.5 * n_frames / max(
+                min(u8_fps + f32_fps, default=400.0), 50.0):
+            break
+        t0 = time.time()
+        u8_pipe.run(host_frames)
+        u8_fps.append(n_frames / (time.time() - t0))
+        t0 = time.time()
+        f32_pipe.run(host_frames)
+        f32_fps.append(n_frames / (time.time() - t0))
+    if not u8_fps:
+        return {}
+    out = {
+        "host_fed_frames_per_sec": round(float(np.median(u8_fps)), 1),
+        "host_fed_u8_min_max": [round(min(u8_fps), 1),
+                                round(max(u8_fps), 1)],
+        "host_fed_trials": len(u8_fps),
+        "host_fed_note": "u8 wire (the -process default); median of "
+                         "interleaved u8/f32 trials; bounded by this "
+                         "harness's ~22MB/s tunnel, not the chip; see "
+                         "RESULTS.md",
+    }
+    if f32_fps:
+        out["host_fed_f32_frames_per_sec"] = round(
+            float(np.median(f32_fps)), 1)
+        out["host_fed_f32_min_max"] = [round(min(f32_fps), 1),
+                                       round(max(f32_fps), 1)]
     return out
 
 

@@ -153,6 +153,11 @@ class Config:
     ensemble: int = 0            # serve/-process/-eval the mean mask
                                  # of N per-seed runs {model}-seed{s}
                                  # (multirun / seed_parallel layout)
+    evaldatapath: str = "red-trees/"  # labeled eval set dir (X.npy +
+                                 # Y.npy); the reference hard-codes
+                                 # "red-trees/" (main.py:920-921) —
+                                 # exposed so real-data users can point
+                                 # at the dump without cwd tricks
 
     def derive(self) -> "Config":
         """Reproduce the reference's post-parse derivations
@@ -283,6 +288,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=("f32", "u8"))
     p.add_argument("--ensemble", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--evaldatapath", type=str, default="red-trees/")
     return p
 
 

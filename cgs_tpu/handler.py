@@ -598,7 +598,8 @@ class Handler:
         cfg = self.cfg
         out_dir = f"eval-results/{cfg.name}/"
         if folder not in self._eval_sets:
-            self._eval_sets[folder] = load_eval_set(cfg, folder=folder)
+            self._eval_sets[folder] = load_eval_set(
+                cfg, evaldatapath=cfg.evaldatapath, folder=folder)
         x, gt = self._eval_sets[folder]
         pipe = self._pipeline(salience=cfg.salience)
         # every host runs the identical SPMD compute on the identical

@@ -71,11 +71,20 @@ def paired_summary(results: Dict[str, dict]) -> str:
     results: variant -> the seed_parallel output dict (needs 'ious')."""
     full = np.asarray(results["full"]["ious"], dtype=np.float64)
     n = len(full)
+    for variant, out in results.items():
+        if len(out.get("ious", [])) != n:
+            raise ValueError(
+                f"variant {variant!r} returned "
+                f"{len(out.get('ious', []))} IoUs, expected {n} — the "
+                "deltas are only paired if every variant trained the "
+                "same seeds")
     lines = [f"paired ablation over {n} shared seeds "
              "(delta = variant - full, per seed):"]
     for variant, out in results.items():
         v = np.asarray(out["ious"], dtype=np.float64)
-        row = (f"  {variant:9s} mean {v.mean():.3f} +- {v.std():.3f}")
+        # sample std (ddof=1), matching the paired-delta sem convention
+        std = v.std(ddof=1) if n > 1 else 0.0
+        row = (f"  {variant:9s} mean {v.mean():.3f} +- {std:.3f}")
         if variant != "full":
             d = v - full
             sem = (d.std(ddof=1) / np.sqrt(n)) if n > 1 else 0.0

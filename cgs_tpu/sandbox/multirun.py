@@ -59,16 +59,24 @@ def _seeded_name(argv: List[str], seed: int) -> str:
 
 
 def pop_int(argv: List[str], flag: str, default: int) -> int:
-    """Extract `<flag> N` from argv IN PLACE — for driver-level flags
-    the Config grammar must not learn (they are not reference flags)."""
-    if flag not in argv:
-        return default
-    i = argv.index(flag)
-    if i + 1 >= len(argv):
-        raise SystemExit(f"{flag} requires a value")
-    value = int(argv[i + 1])
-    del argv[i:i + 2]
-    return value
+    """Extract `<flag> N` or `<flag>=N` from argv IN PLACE — for
+    driver-level flags the Config grammar must not learn (they are not
+    reference flags). Both argparse spellings must be handled here:
+    `--runs` is also a dead flag in the Config grammar, so a missed
+    `--runs=5` would be silently swallowed downstream and train one
+    seed instead of five (ADVICE r4)."""
+    for i, tok in enumerate(argv):
+        if tok == flag:
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{flag} requires a value")
+            value = int(argv[i + 1])
+            del argv[i:i + 2]
+            return value
+        if tok.startswith(flag + "="):
+            value = int(tok.split("=", 1)[1])
+            del argv[i]
+            return value
+    return default
 
 
 def pop_runs(argv: List[str], default: int = 1) -> int:

@@ -569,6 +569,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
     # "Single-chip capacity"); smaller chunks = less live scan state
     # per dispatch at more dispatches
     chunk_steps = pop_int(argv, "--chunk-steps", 100)
+    if chunk_steps < 1:
+        raise SystemExit(
+            f"--chunk-steps must be >= 1 (got {chunk_steps}): 0 would "
+            "crash inside run_parallel's range() and a negative value "
+            "would silently skip all training")
     cfg = parse_args(argv)
     x, y, _ = collect_data(cfg)
     x_eval, gt = synthetic_eval_set(

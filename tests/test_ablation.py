@@ -67,6 +67,22 @@ def test_paired_summary_math():
     sem = d.std(ddof=1) / np.sqrt(3)
     assert f"{d.mean():+.3f} +- {sem:.3f}sem" in s
     assert "0/3 above full" in s
+    # per-variant spread uses the SAME ddof=1 convention as the sem
+    # (ADVICE r4)
+    std = full.std(ddof=1)
+    assert f"full      mean {full.mean():.3f} +- {std:.3f}" in s
+
+
+def test_paired_summary_rejects_unequal_lengths():
+    """A missing/short per-variant IoU list must fail loudly BEFORE the
+    deltas misbroadcast (ADVICE r4)."""
+    res = {v: {"ious": IOUS[v]} for v in IOUS}
+    res["frozen"] = {"ious": IOUS["frozen"][:2]}
+    with pytest.raises(ValueError, match="frozen"):
+        ablation.paired_summary(res)
+    res["frozen"] = {}
+    with pytest.raises(ValueError, match="frozen"):
+        ablation.paired_summary(res)
 
 
 def test_model_eq_form_suffixed():

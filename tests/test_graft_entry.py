@@ -36,6 +36,10 @@ def test_dryrun_multichip_fresh_process():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8) ok" in proc.stdout, (
         proc.stdout, proc.stderr[-2000:])
+    # programs 5-6 (VERDICT r4 #4): the meshed masker SCANNED chunk and
+    # the seed-sharded seed_parallel critic chunk must have executed
+    assert "masker_chunk_losses_shape=(2, 4)" in proc.stdout
+    assert "seed_parallel_losses_shape=(16, 2)" in proc.stdout
 
 
 def test_entry_compiles_fresh_process():

@@ -103,6 +103,57 @@ def test_reference_masker_forward_parity(ref, rng):
         np.asarray(mask), tmask.numpy().transpose(0, 2, 3, 1), atol=1e-5)
 
 
+def test_reference_chfak5_parity(ref, rng):
+    """The paper's PUBLISHED architecture (docs/index.html Architecture:
+    encoder 40/40/40/80 channels + 160-ch bottleneck, dropout 0.5 —
+    i.e. chfak=5 through nets.py:161,166,184,190): forward + embeds +
+    masker output + exact param counts vs the shipped modules at that
+    width (VERDICT r4 #1c — every earlier parity case ran at the
+    chfak=1 code default)."""
+    nets, _ = ref
+    torch.manual_seed(3)
+    rc = nets.NewCritic(chfak=5, dropout=0.5).eval()
+    rd = nets.UnetDecoder(chfak=5).eval()
+    frames = rng.random((2, 64, 64, 3)).astype(np.float32)
+    xt = torch.from_numpy(frames.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        tpred, tembeds = rc(xt, collect=True)
+        tmask = rd(xt, tembeds)
+
+    critic = Critic(chfak=5, dropout=0.5)
+    masker = UnetDecoder(chfak=5)
+    x = jnp.asarray(frames)
+    # fresh flax init first: param-COUNT parity must hold for our own
+    # construction, not just for converted torch weights
+    key = jax.random.PRNGKey(0)
+    cp0 = critic.init({"params": key}, x, collect=True)["params"]
+    _, em0 = critic.apply({"params": cp0}, x, collect=True)
+    mp0 = masker.init({"params": key}, x, em0)["params"]
+    n_c = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(cp0))
+    n_d = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(mp0))
+    assert n_c == sum(p.numel() for p in rc.parameters())
+    assert n_d == sum(p.numel() for p in rd.parameters())
+    # the published encoder widths, readable off the conv kernels
+    assert cp0["conv0"]["kernel"].shape[-1] == 40
+    assert cp0["conv3"]["kernel"].shape[-1] == 80
+    assert cp0["conv_neck"]["kernel"].shape[-1] == 160
+
+    cparams = torch_state_to_flax(_state_np(rc), CRITIC_KEYMAP)
+    dparams = torch_state_to_flax(_state_np(rd), DECODER_KEYMAP)
+    pred, embeds = critic.apply({"params": cparams}, x, collect=True)
+    mask = masker.apply({"params": dparams}, x, embeds)
+    np.testing.assert_allclose(np.asarray(pred), tpred.numpy(),
+                               atol=1e-4)
+    assert len(embeds) == len(tembeds) == 5
+    for i, (fe, te) in enumerate(zip(embeds, tembeds)):
+        np.testing.assert_allclose(
+            np.asarray(fe), te.numpy().transpose(0, 2, 3, 1),
+            atol=1e-4, err_msg=f"embed {i}")
+    np.testing.assert_allclose(
+        np.asarray(mask), tmask.numpy().transpose(0, 2, 3, 1),
+        atol=1e-4)
+
+
 def test_replicas_match_reference_source(ref, rng):
     """Pin the hand-built replicas of test_torch_parity.py against the
     shipped classes: identical state_dict grammar AND identical outputs

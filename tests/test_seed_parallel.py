@@ -473,6 +473,22 @@ def test_pop_runs_shared_parsing():
     assert pop_runs(["--model", "m"]) == 1
     with pytest.raises(SystemExit):
         pop_runs(["--model", "m", "--runs"])
+    # the `--runs=N` spelling must not fall through to the dead Config
+    # flag and silently train one seed (ADVICE r4)
+    argv = ["--model", "m", "--runs=5", "-train"]
+    assert pop_runs(argv) == 5
+    assert argv == ["--model", "m", "-train"]
+
+
+def test_chunk_steps_cli_validation():
+    """--chunk-steps 0 / negative must fail fast with a clear message,
+    not crash deep in run_parallel or silently skip training
+    (ADVICE r4)."""
+    import cgs_tpu.sandbox.seed_parallel as sp
+
+    for bad in ("0", "-5"):
+        with pytest.raises(SystemExit, match="chunk-steps"):
+            sp.main(["--chunk-steps", bad, "-synthetic_data"])
 
 
 def test_chunk_steps_cli_threads_to_run_parallel(monkeypatch):

@@ -199,6 +199,28 @@ def test_resimages_substitutes_input(tmp_path, monkeypatch):
         load_eval_set(cfg)
 
 
+def test_evaldatapath_flag(tmp_path):
+    """--evaldatapath points load_eval_set at a custom X.npy/Y.npy dir
+    (VERDICT r4 #5; the reference hard-codes "red-trees/",
+    main.py:920-921); the [100:5000:2] slice and /255 + np.all GT
+    binarization still apply."""
+    from cgs_tpu.eval.harness import load_eval_set
+
+    d = tmp_path / "my-dump"
+    d.mkdir()
+    r = np.random.default_rng(1)
+    x = r.integers(0, 256, (300, 64, 64, 3)).astype(np.uint8)
+    ygt = r.random((300, 64, 64, 3)) > 0.5
+    np.save(d / "X.npy", x)
+    np.save(d / "Y.npy", ygt)
+    cfg = parse_args(["--evaldatapath", str(d)])
+    assert cfg.evaldatapath == str(d)
+    xe, gt = load_eval_set(cfg, evaldatapath=cfg.evaldatapath)
+    np.testing.assert_allclose(
+        xe, (x / 255.0)[100:5000:2].astype(np.float32), atol=1e-6)
+    np.testing.assert_array_equal(gt, np.all(ygt, axis=-1)[100:5000:2])
+
+
 def test_eval_video_reference_reordering(tmp_path, rng):
     """Column permutation matches main.py:1028-1032 for all three
     layout cases (crf+sal / crf only / neither)."""
