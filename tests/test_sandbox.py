@@ -287,3 +287,20 @@ def test_multirun_aggregates_last_ious(tmp_path, monkeypatch):
     assert out["ious"] == [0.5, 0.6, 0.7]
     assert abs(out["mean"] - 0.6) < 1e-9
     assert "mean=0.600" in open(tmp_path / "results.txt").read()
+
+
+def test_bench_width_training_smoke():
+    """bench_width (the chfak-sweep perf tool, VERDICT r4 #1a) must
+    build and time both training chunks at a non-default width without
+    touching the network/device assumptions of bench.py. Tiny shapes:
+    2 steps x 1 round on the CPU backend."""
+    from cgs_tpu.sandbox import bench_width
+
+    out = bench_width.bench_training(chfak=2, dropout=0.5, bf16=False,
+                                     steps=2, rounds=1)
+    metrics = {r["metric"]: r for r in out}
+    assert set(metrics) == {"critic_train_steps_per_sec",
+                            "masker_train_steps_per_sec"}
+    for r in out:
+        assert r["chfak"] == 2 and r["value"] > 0
+    assert metrics["masker_train_steps_per_sec"]["fuse"] == "both"
