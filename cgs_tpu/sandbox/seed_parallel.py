@@ -190,9 +190,24 @@ def _unshard(tree):
     return jax.tree.map(fix, tree)
 
 
+def _sweep_batch(critic, runs: int, cap: int = 4096) -> int:
+    """HBM-aware sweep batch: the vmapped sweep folds the seed axis
+    into conv channels, so the first-conv activation costs
+    batch*R*8*chfak floats per pixel. Hold batch*R*chfak at the
+    proven chfak=1/R=10 point (4096*10 -> ~5.4 GB f32); the old
+    fixed 4096 at chfak=5/R=10 was a 26.8 GB allocation that OOMs
+    the 16 GB v5e."""
+    ch = int(getattr(critic, "chfak", 1) or 1)
+    b = (cap * 10) // max(runs * ch, 1)
+    return max(256, min(cap, (b // 256) * 256))
+
+
 def seeded_sweep(critic, cparams, x_dev, n: int,
-                 batch: int = 4096) -> np.ndarray:
+                 batch: Optional[int] = None) -> np.ndarray:
     """(R, n) host preds over n device-resident frames."""
+    if batch is None:
+        runs = jax.tree.leaves(cparams)[0].shape[0]
+        batch = _sweep_batch(critic, int(runs))
     n_chunks = -(-n // batch)
     idx = np.minimum(np.arange(n_chunks * batch, dtype=np.int32),
                      n - 1).reshape(n_chunks, batch)

@@ -465,6 +465,30 @@ def test_build_models_respects_cfg():
     assert masker.compute_dtype == jnp.bfloat16
 
 
+def test_sweep_batch_scales_with_width():
+    """The contrastive sweep folds the seed axis into conv channels,
+    so its HBM footprint is batch*R*chfak — the batch must shrink as
+    width grows (the fixed 4096 at chfak=5/R=10 was a 26.8 GB
+    allocation on a 16 GB v5e)."""
+    from cgs_tpu.models.critic import Critic
+
+    c1 = Critic(bottleneck=32, chfak=1)
+    c5 = Critic(bottleneck=32, chfak=5)
+    # chfak=1 keeps the proven working point
+    assert sp._sweep_batch(c1, 10) == 4096
+    # chfak=5/R=10 must hold batch*R*chfak <= 4096*10, 256-aligned
+    b5 = sp._sweep_batch(c5, 10)
+    assert 256 <= b5 < 4096 and b5 % 256 == 0
+    assert b5 * 10 * 5 <= 4096 * 10
+    # never below the floor, never above the cap
+    assert sp._sweep_batch(c5, 64) == 256
+    assert sp._sweep_batch(c1, 1) == 4096
+    # seeded_sweep derives R from the params tree when batch is None
+    params = {"kernel": np.zeros((10, 3))}
+    runs = jax.tree.leaves(params)[0].shape[0]
+    assert sp._sweep_batch(c5, int(runs)) == b5
+
+
 def test_pop_runs_shared_parsing():
     from cgs_tpu.sandbox.multirun import pop_runs
     argv = ["--model", "m", "--runs", "7", "-train"]
