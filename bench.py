@@ -170,6 +170,10 @@ def main():
                                 MaskPipeline, batch))
     except Exception as e:
         extras["host_fed_error"] = repr(e)[:200]
+    try:
+        extras.update(_paper_width(jax, jnp, MaskPipeline, on_tpu))
+    except Exception as e:
+        extras["paper_width_error"] = repr(e)[:200]
 
     if extras:
         print(json.dumps({**headline, **extras}), flush=True)
@@ -244,6 +248,66 @@ def _training_throughput(jax, jnp, critic, masker, cp, mp):
     except Exception as e:
         out["masker_train_error"] = repr(e)[:200]
     return out
+
+
+def _paper_width(jax, jnp, MaskPipeline, on_tpu):
+    """Device-resident throughput at the PAPER's architecture —
+    chfak=5 (encoder 40/40/40/80, bottleneck 160, reference
+    docs/index.html "Architecture"; nets.py:161,166,184,190) — so the
+    driver records the published-width number alongside the chfak=1
+    code-default headline. Budget-gated; bf16 (the recommended
+    production dtype at this width, RESULTS.md chfak=5 section)."""
+    if remaining() < 90:
+        return {}
+    from cgs_tpu import Critic, UnetDecoder
+
+    critic = Critic(chfak=5, dropout=0.5, compute_dtype=jnp.bfloat16)
+    masker = UnetDecoder(chfak=5, compute_dtype=jnp.bfloat16)
+    # suspend the persistent cache around the host-CPU init: this
+    # runs AFTER main() enabled it, and cached XLA:CPU AOT blobs
+    # replay with ~1 KB machine-feature-mismatch warnings per program
+    # (the round-2 captured-tail hazard the main init block dodges by
+    # ordering)
+    cache_dir = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            key = jax.random.PRNGKey(0)
+            x0 = jnp.zeros((8, 64, 64, 3))
+            cp = critic.init({"params": key}, x0,
+                             collect=True)["params"]
+            _, em = critic.apply({"params": cp}, x0, collect=True)
+            mp = masker.init({"params": key}, x0, em)["params"]
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    batch = 8192 if on_tpu else 128   # the chfak=5 HBM sweet spot
+    pipe = MaskPipeline(critic, masker,
+                        {"critic": jax.tree.map(np.asarray, cp),
+                         "masker": jax.tree.map(np.asarray, mp)},
+                        batch_size=batch, with_checksum=True)
+    frames = jax.jit(
+        lambda k: jax.random.randint(k, (batch, 64, 64, 3), 0, 256,
+                                     dtype=jnp.uint8)
+    )(jax.random.PRNGKey(0))
+    for _ in range(2):
+        *_, ck = pipe.run_device(frames)
+        float(ck)
+    if remaining() < 30:
+        return {}
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        cks = []
+        for _ in range(16):
+            *_, ck = pipe.run_device(frames)
+            cks.append(ck)
+        float(sum(cks))
+        times.append((time.time() - t0) / 16)
+    fps = batch / sorted(times)[1]
+    return {"paper_width_process_fps": round(fps, 1),
+            "paper_width_note": "chfak=5 bf16 (the published "
+                                "40/40/40/80/160-channel net), "
+                                "device-resident, batch 8192"}
 
 
 def _host_fed(jax, jnp, critic, masker, cp, mp, MaskPipeline, batch):

@@ -42,11 +42,13 @@ def _cache():
         pass
 
 
-def _models(chfak: int, dropout: float, dtype):
+def _models(chfak: int, dropout: float, dtype,
+            pallas_upsample=None):
     from cgs_tpu.models.critic import Critic
     from cgs_tpu.models.decoder import UnetDecoder
     critic = Critic(chfak=chfak, dropout=dropout, compute_dtype=dtype)
-    masker = UnetDecoder(chfak=chfak, compute_dtype=dtype)
+    masker = UnetDecoder(chfak=chfak, compute_dtype=dtype,
+                         use_pallas_upsample=pallas_upsample)
     return critic, masker
 
 
@@ -75,15 +77,20 @@ def _init_params(critic, masker):
 
 
 def bench_inference(chfak: int, dropout: float, batch: int,
-                    n_iter: int, bf16: bool) -> dict:
+                    n_iter: int, bf16: bool,
+                    pallas_upsample=None) -> dict:
     """Device-resident -process throughput (bench.py methodology:
-    median of 3 groups of n_iter async dispatches, checksum sync)."""
+    median of 3 groups of n_iter async dispatches, checksum sync).
+    pallas_upsample: None = decoder auto (off on TPU), True/False
+    forces the ops/pallas_upsample.py path — the width-1 "Pallas
+    upsample loses at the layout seam" verdict re-check."""
     import jax
     import jax.numpy as jnp
     from cgs_tpu.pipeline import MaskPipeline
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    critic, masker = _models(chfak, dropout, dtype)
+    critic, masker = _models(chfak, dropout, dtype,
+                             pallas_upsample=pallas_upsample)
     cp, mp = _init_params(critic, masker)
     pipe = MaskPipeline(critic, masker, {"critic": cp, "masker": mp},
                         batch_size=batch, with_checksum=True)
@@ -104,10 +111,13 @@ def bench_inference(chfak: int, dropout: float, batch: int,
         float(sum(cks))
         times.append((time.time() - t0) / n_iter)
     dt = sorted(times)[1]
-    return {"metric": "process_fps", "chfak": chfak,
-            "dtype": "bf16" if bf16 else "f32", "batch": batch,
-            "value": round(batch / dt, 1),
-            "ms_per_dispatch": round(dt * 1e3, 2)}
+    out = {"metric": "process_fps", "chfak": chfak,
+           "dtype": "bf16" if bf16 else "f32", "batch": batch,
+           "value": round(batch / dt, 1),
+           "ms_per_dispatch": round(dt * 1e3, 2)}
+    if pallas_upsample is not None:
+        out["pallas_upsample"] = bool(pallas_upsample)
+    return out
 
 
 def bench_training(chfak: int, dropout: float, bf16: bool,
@@ -191,6 +201,10 @@ def main(argv=None):
     p.add_argument("--fuse-sweep", action="store_true",
                    help="masker chunk at fuse=none/merges/both "
                         "(the 1.27x fused-pair verdict re-check)")
+    p.add_argument("--pallas-upsample-ab", action="store_true",
+                   help="inference with the Pallas x2 upsample forced "
+                        "on AND off (the width-1 layout-seam loss "
+                        "re-check)")
     a = p.parse_args(argv)
     _cache()
 
@@ -202,6 +216,12 @@ def main(argv=None):
         for bf16 in (False, True):
             r = bench_inference(a.chfak, a.dropout, batch, a.iters,
                                 bf16)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    if a.pallas_upsample_ab:
+        for forced in (False, True):
+            r = bench_inference(a.chfak, a.dropout, batch, a.iters,
+                                True, pallas_upsample=forced)
             results.append(r)
             print(json.dumps(r), flush=True)
     if not a.skip_training:

@@ -304,3 +304,17 @@ def test_bench_width_training_smoke():
     for r in out:
         assert r["chfak"] == 2 and r["value"] > 0
     assert metrics["masker_train_steps_per_sec"]["fuse"] == "both"
+
+
+def test_bench_width_pallas_upsample_passthrough():
+    """--pallas-upsample-ab must reach the decoder: _models forwards
+    the forced flag into UnetDecoder.use_pallas_upsample (None keeps
+    the decoder's auto gate) and bench_inference tags its JSON line."""
+    import jax.numpy as jnp
+
+    from cgs_tpu.sandbox import bench_width
+
+    for forced in (None, False, True):
+        _, masker = bench_width._models(2, 0.5, jnp.float32,
+                                        pallas_upsample=forced)
+        assert masker.use_pallas_upsample is forced
