@@ -64,7 +64,8 @@ class MaskPipeline:
                  use_pallas: bool = False, ensemble: bool = False,
                  wire: str = "f32",
                  hard_threshold: Optional[float] = None,
-                 max_in_flight: Optional[int] = None):
+                 max_in_flight: Optional[int] = None,
+                 quantize: Optional[str] = None):
         """mesh: optional ('data','model') jax Mesh — params are
         replicated and run() shards each batch over 'data', so
         multi-chip inference needs no other change (the committed
@@ -105,6 +106,16 @@ class MaskPipeline:
         the threshold differently). Ignored by nothing: works with
         any wire.
 
+        quantize: None (default) or 'int8' — post-training int8
+        inference (ops/quant.py): conv weights per-channel int8
+        (quantized once per update_params), activations dynamically
+        per-tensor int8, convs on the MXU as s8 x s8 -> s32. Serving
+        extension (no reference analogue — main.py serves f32 torch);
+        measured 1.52x over bf16 on the dominant conv at chfak=5.
+        Eval-only: incompatible with salience (int8 convs carry no
+        useful gradient) and with eval_mode=False (live dropout);
+        both raise here rather than mis-serve.
+
         max_in_flight: bound on outstanding run() dispatches (default
         MAX_IN_FLIGHT=3). Unbounded async dispatch would hold every
         chunk's outputs live in HBM at once — ~280 MB/chunk at batch
@@ -128,6 +139,17 @@ class MaskPipeline:
         self.ensemble = bool(ensemble)
         if wire not in ("f32", "u8"):
             raise ValueError(f"wire={wire!r} not in ('f32', 'u8')")
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize={quantize!r} not in "
+                             "(None, 'int8')")
+        if quantize and salience:
+            raise ValueError("quantize='int8' cannot compute saliency "
+                             "(no useful input gradient through int8 "
+                             "convs) — drop one of the two")
+        if quantize and not eval_mode:
+            raise ValueError("quantize='int8' requires eval_mode=True "
+                             "(the quantized forward has no dropout)")
+        self.quantize = quantize
         self.wire = wire
         self.hard_threshold = (float(hard_threshold)
                                if hard_threshold is not None else None)
@@ -254,6 +276,29 @@ class MaskPipeline:
         # ignored by the compiled program
 
         pallas_ingest = self._pallas_ingest
+        quantize = self.quantize
+        if quantize == "int8":
+            from cgs_tpu.ops.quant import critic_apply_q, masker_apply_q
+            cdt = critic.compute_dtype
+            mdt = masker.compute_dtype
+
+            def critic_apply(p, xin, k):   # (pred, embeds); k unused:
+                # the int8 path is eval-only (guard in __init__)
+                return critic_apply_q(p, xin, mode="int8",
+                                      compute_dtype=cdt)
+
+            def masker_apply(p, xin, embeds):
+                return masker_apply_q(p, xin, embeds, mode="int8",
+                                      compute_dtype=mdt)
+        else:
+            def critic_apply(p, xin, k):
+                return critic.apply(
+                    {"params": p}, xin, collect=True,
+                    deterministic=deterministic,
+                    rngs=None if deterministic else {"dropout": k})
+
+            def masker_apply(p, xin, embeds):
+                return masker.apply({"params": p}, xin, embeds)
 
         def forward(params, u8, key):
             if pallas_ingest:
@@ -273,10 +318,7 @@ class MaskPipeline:
             ks = jax.random.split(key, 3)
 
             def critic_mean(xin):
-                out = critic.apply(
-                    {"params": params["critic"]}, xin, collect=True,
-                    deterministic=deterministic,
-                    rngs=None if deterministic else {"dropout": ks[0]})
+                out = critic_apply(params["critic"], xin, ks[0])
                 return jnp.mean(out[0]), out
 
             if salience:
@@ -289,12 +331,9 @@ class MaskPipeline:
                 sal = None
 
             if separate:  # masker reads sepcrit features (main.py:946-947)
-                _, embeds = critic.apply(
-                    {"params": params["sepcrit"]}, x, collect=True,
-                    deterministic=deterministic,
-                    rngs=None if deterministic else {"dropout": ks[1]})
+                _, embeds = critic_apply(params["sepcrit"], x, ks[1])
 
-            mask = masker.apply({"params": params["masker"]}, x, embeds)
+            mask = masker_apply(params["masker"], x, embeds)
             pred = pred.squeeze(-1)
             if with_checksum:
                 # in-graph sync token: a scalar whose readback forces
@@ -314,6 +353,13 @@ class MaskPipeline:
         once too: leaving .pt-loaded host numpy in self.params would
         re-upload the whole tree on EVERY dispatch (painful through
         remote-TPU links)."""
+        if self.quantize == "int8":
+            # one-time: conv kernels -> int8 + per-channel scales; the
+            # f32 kernels never reach the device (ops/quant.py). The
+            # leading ensemble seed axis passes through (negative-axis
+            # reductions), so ensemble + int8 composes
+            from cgs_tpu.ops.quant import quantize_tree
+            params = quantize_tree(params)
         if self.mesh is not None:
             if self.ensemble:
                 from cgs_tpu.parallel.mesh import seed_shard_tree

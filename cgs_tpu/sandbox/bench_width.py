@@ -78,12 +78,14 @@ def _init_params(critic, masker):
 
 def bench_inference(chfak: int, dropout: float, batch: int,
                     n_iter: int, bf16: bool,
-                    pallas_upsample=None) -> dict:
+                    pallas_upsample=None, quantize=None) -> dict:
     """Device-resident -process throughput (bench.py methodology:
     median of 3 groups of n_iter async dispatches, checksum sync).
     pallas_upsample: None = decoder auto (off on TPU), True/False
     forces the ops/pallas_upsample.py path — the width-1 "Pallas
-    upsample loses at the layout seam" verdict re-check."""
+    upsample loses at the layout seam" verdict re-check.
+    quantize: None or 'int8' — the ops/quant.py serving path (the
+    1.52x isolated-conv probe, measured end-to-end here)."""
     import jax
     import jax.numpy as jnp
     from cgs_tpu.pipeline import MaskPipeline
@@ -93,7 +95,8 @@ def bench_inference(chfak: int, dropout: float, batch: int,
                              pallas_upsample=pallas_upsample)
     cp, mp = _init_params(critic, masker)
     pipe = MaskPipeline(critic, masker, {"critic": cp, "masker": mp},
-                        batch_size=batch, with_checksum=True)
+                        batch_size=batch, with_checksum=True,
+                        quantize=quantize)
     frames = jax.jit(
         lambda k: jax.random.randint(k, (batch, 64, 64, 3), 0, 256,
                                      dtype=jnp.uint8)
@@ -117,6 +120,8 @@ def bench_inference(chfak: int, dropout: float, batch: int,
            "ms_per_dispatch": round(dt * 1e3, 2)}
     if pallas_upsample is not None:
         out["pallas_upsample"] = bool(pallas_upsample)
+    if quantize is not None:
+        out["quantize"] = quantize
     return out
 
 
@@ -205,6 +210,9 @@ def main(argv=None):
                    help="inference with the Pallas x2 upsample forced "
                         "on AND off (the width-1 layout-seam loss "
                         "re-check)")
+    p.add_argument("--int8-ab", action="store_true",
+                   help="bf16 vs int8-quantized inference, "
+                        "interleaved trials (ops/quant.py end-to-end)")
     a = p.parse_args(argv)
     _cache()
 
@@ -222,6 +230,12 @@ def main(argv=None):
         for forced in (False, True):
             r = bench_inference(a.chfak, a.dropout, batch, a.iters,
                                 True, pallas_upsample=forced)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    if a.int8_ab:
+        for q in (None, "int8"):
+            r = bench_inference(a.chfak, a.dropout, batch, a.iters,
+                                True, quantize=q)
             results.append(r)
             print(json.dumps(r), flush=True)
     if not a.skip_training:
