@@ -10,11 +10,18 @@ the reference serves f32 torch on CPU, main.py:1130-1151):
   * weights: per-output-channel symmetric int8
     (`scale[oc] = max|K[..., oc]| / 127`), quantized ONCE per
     `update_params` — the f32 kernels never ride dispatches;
-  * activations: per-tensor symmetric int8 with a DYNAMIC in-graph
-    scale (`max|x| / 127`). Dynamic costs one extra reduce per conv
-    input but needs no calibration set and cannot clip outliers, so
-    it is accuracy-safe for arbitrary checkpoints. The extra reduce
-    fuses into the producing op's epilogue on TPU;
+  * activations: per-tensor symmetric int8. Two modes:
+      - DYNAMIC (default): in-graph `max|x| / 127` per conv input.
+        Calibration-free and clip-safe, but the full-tensor reduce is
+        a dependency barrier + an extra HBM pass per conv — measured
+        0.73x end-to-end at chfak=5 (the reduce eats the MXU win);
+      - STATIC (`calibrate_act_scales` + `merge_act_scales`, or
+        `MaskPipeline(..., quantize="int8", calib=frames)`): scales
+        are baked from a calibration batch's per-conv max|input|, so
+        the quantize is a pure elementwise op that fuses into the
+        producing relu/concat — no reduce, no barrier. Out-of-range
+        activations on unseen data clip at ±127 (saturating, the
+        standard PTQ behavior);
   * convolutions run s8 x s8 -> s32 on the MXU
     (`preferred_element_type=int32`), then rescale + bias in f32;
   * the tiny dense head (neck x neck and neck x 1) and all
@@ -54,7 +61,7 @@ def _is_conv_kernel(path, leaf) -> bool:
     return path[-1].key == "kernel" and leaf.ndim >= 4
 
 
-def quantize_tree(params):
+def quantize_tree(params, only=None):
     """f32 flax param tree -> int8-quantized tree.
 
     Each conv kernel leaf K (..., H, W, I, O) becomes the pair
@@ -62,10 +69,18 @@ def quantize_tree(params):
     per-output-channel symmetric quantization over the (H, W, I)
     reduction axes (negative axes, so a leading ensemble seed axis
     passes straight through — no vmap needed). Dense kernels and all
-    biases are left untouched in f32."""
+    biases are left untouched in f32.
+
+    only: optional collection of conv names (e.g. {"mask0", "mask1"})
+    — convs NOT listed keep their f32 kernels and run as exact convs
+    (the int8 forward falls back per-leaf on missing `kernel_scale`),
+    so callers can quantize just the MXU-bound convs where int8
+    actually wins."""
 
     def quant(path, leaf):
         if not _is_conv_kernel(path, leaf):
+            return {"": leaf}
+        if only is not None and path[-2].key not in only:
             return {"": leaf}
         k = leaf.astype(jnp.float32)
         scale = jnp.max(jnp.abs(k), axis=(-4, -3, -2)) / 127.0
@@ -87,10 +102,14 @@ def quantize_tree(params):
 
 
 def conv_q(qleaf_kernel: Array, scale: Array, bias: Array, x: Array,
-           padding: str, compute_dtype) -> Array:
-    """s8 x s8 -> s32 conv with dynamic per-tensor activation scale."""
+           padding: str, compute_dtype, act_scale=None) -> Array:
+    """s8 x s8 -> s32 conv; activation scale dynamic (None) or static
+    (a scalar riding in the quantized param tree)."""
     xf = x.astype(jnp.float32)
-    sa = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    if act_scale is None:
+        sa = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    else:
+        sa = act_scale
     xq = jnp.clip(jnp.round(xf / sa), -127, 127).astype(jnp.int8)
     y = lax.conv_general_dilated(
         xq, qleaf_kernel, (1, 1), padding, dimension_numbers=_DN,
@@ -108,26 +127,76 @@ def conv_f32(kernel: Array, bias: Array, x: Array, padding: str,
     return y + bias.astype(compute_dtype)
 
 
-def _make_conv(qp, mode: str, compute_dtype):
+def _make_conv(qp, mode: str, compute_dtype, record=None):
     if mode == "int8":
         def conv(name, x, padding):
-            return conv_q(qp[name]["kernel"], qp[name]["kernel_scale"],
-                          qp[name]["bias"], x, padding, compute_dtype)
+            leaf = qp[name]
+            if "kernel_scale" not in leaf:   # excluded by `only`
+                return conv_f32(leaf["kernel"], leaf["bias"], x,
+                                padding, compute_dtype)
+            return conv_q(leaf["kernel"], leaf["kernel_scale"],
+                          leaf["bias"], x, padding, compute_dtype,
+                          act_scale=leaf.get("act_scale"))
     else:
         def conv(name, x, padding):
+            if record is not None:   # calibration tap (eager only)
+                record[name] = jnp.maximum(
+                    record.get(name, jnp.float32(0.0)),
+                    jnp.max(jnp.abs(x.astype(jnp.float32))))
             return conv_f32(qp[name]["kernel"], qp[name]["bias"], x,
                             padding, compute_dtype)
     return conv
 
 
+def calibrate_act_scales(params, frames_u8, *, separate: bool = False,
+                         compute_dtype=jnp.float32,
+                         margin: float = 1.0) -> dict:
+    """Run one f32 forward on a calibration batch and return static
+    per-conv-input activation scales {subtree: {conv: float}} —
+    `max|input| * margin / 127` per conv. The record taps mutate a
+    dict at TRACE time, so the whole forward jits into one program
+    (eager through a tunneled TPU would pay ~70 ms per primitive). A
+    few hundred frames is plenty since the scales are per-tensor
+    maxima, not histograms."""
+    import jax
+
+    def _run(p, u8):
+        x = u8.astype(jnp.float32) * (1.0 / 255.0)
+        cc = dict(mode="f32", compute_dtype=compute_dtype)
+        rec = {"critic": {}, "masker": {}}
+        _, em = critic_apply_q(p["critic"], x, record=rec["critic"],
+                               **cc)
+        if separate:
+            rec["sepcrit"] = {}
+            _, em = critic_apply_q(p["sepcrit"], x,
+                                   record=rec["sepcrit"], **cc)
+        masker_apply_q(p["masker"], x, em, record=rec["masker"], **cc)
+        return rec
+
+    recs = jax.jit(_run)(params, jnp.asarray(frames_u8))
+    return {sub: {k: float(v) * margin / 127.0 for k, v in rec.items()}
+            for sub, rec in recs.items()}
+
+
+def merge_act_scales(qparams: dict, scales: dict) -> dict:
+    """Attach calibrated activation scales to a `quantize_tree` output
+    (in place; scalars ride the param tree so pipelines can swap
+    params without retracing)."""
+    for sub, d in scales.items():
+        for name, s in d.items():
+            if "kernel_scale" in qparams[sub][name]:  # quantized only
+                qparams[sub][name]["act_scale"] = jnp.float32(s)
+    return qparams
+
+
 def critic_apply_q(qp, x: Array, *, mode: str = "int8",
-                   compute_dtype=jnp.float32,
+                   compute_dtype=jnp.float32, record=None,
                    ) -> Tuple[Array, List[Array]]:
     """Deterministic-eval `Critic.__call__(collect=True)` mirror
     (models/critic.py:71-110; nets.py:160-212). qp: the critic
     subtree of `quantize_tree` output (or raw params, mode='f32').
     Returns (sigmoid pred (B, 1), 5-entry skip pyramid)."""
-    conv = _make_conv(qp, mode, compute_dtype)
+    conv = _make_conv(qp, mode, compute_dtype, record=record)
     x = x.astype(compute_dtype)
     embeds: List[Array] = []
     for i in range(4):
@@ -148,13 +217,13 @@ def critic_apply_q(qp, x: Array, *, mode: str = "int8",
 
 def masker_apply_q(qp, x: Array, embeds: List[Array], *,
                    mode: str = "int8",
-                   compute_dtype=jnp.float32) -> Array:
+                   compute_dtype=jnp.float32, record=None) -> Array:
     """Deterministic `UnetDecoder.__call__` mirror
     (models/decoder.py:98-143; nets.py:452-523): no inter-conv
     activation (the reference's dead `self.acti` binding), x2 nearest
     upsamples, leaky-relu only inside the mask head."""
     from cgs_tpu.models.decoder import upsample2x as up2
-    conv = _make_conv(qp, mode, compute_dtype)
+    conv = _make_conv(qp, mode, compute_dtype, record=record)
     x = x.astype(compute_dtype)
     embeds = [e.astype(compute_dtype) for e in embeds]
     out4 = conv("dec4", embeds[4], "VALID")          # 1x1

@@ -65,7 +65,8 @@ class MaskPipeline:
                  wire: str = "f32",
                  hard_threshold: Optional[float] = None,
                  max_in_flight: Optional[int] = None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 calib: Optional[np.ndarray] = None):
         """mesh: optional ('data','model') jax Mesh — params are
         replicated and run() shards each batch over 'data', so
         multi-chip inference needs no other change (the committed
@@ -108,13 +109,31 @@ class MaskPipeline:
 
         quantize: None (default) or 'int8' — post-training int8
         inference (ops/quant.py): conv weights per-channel int8
-        (quantized once per update_params), activations dynamically
-        per-tensor int8, convs on the MXU as s8 x s8 -> s32. Serving
-        extension (no reference analogue — main.py serves f32 torch);
-        measured 1.52x over bf16 on the dominant conv at chfak=5.
-        Eval-only: incompatible with salience (int8 convs carry no
-        useful gradient) and with eval_mode=False (live dropout);
-        both raise here rather than mis-serve.
+        (quantized once per update_params), activations per-tensor
+        int8 (dynamic, or static via `calib`), convs on the MXU as
+        s8 x s8 -> s32. Serving extension (no reference analogue —
+        main.py serves f32 torch). Accuracy-validated (hard-mask
+        agreement 1.0 vs bf16 on the v5e at chfak=5) but measured
+        SLOWER end-to-end there (0.73x dynamic / 0.90x static /
+        monotonically worse per quantized conv in the subset sweep,
+        RESULTS.md): the isolated 1.52x conv win does not survive
+        XLA's requant seams and int8 layout boundaries — keep bf16
+        for v5e serving; the path is shipped for accuracy headroom
+        studies and future hardware/compiler revisions. Eval-only:
+        incompatible with salience (int8 convs carry no useful
+        gradient) and with eval_mode=False (live dropout); both
+        raise here rather than mis-serve.
+
+        calib: optional (N, H, W, 3) uint8 calibration frames for
+        quantize='int8'. When given, activation scales are STATIC
+        (baked from the calibration batch's per-conv max|input|, one
+        f32 forward per update_params) so the in-graph quantize is a
+        pure fused elementwise op; without it scales are DYNAMIC
+        (per-dispatch max-reduce per conv input — accuracy-identical
+        on in-distribution data but measured 0.73x end-to-end at
+        chfak=5, the reduce barrier eats the MXU win). A few hundred
+        representative frames suffice; out-of-range activations
+        saturate at ±127. Ignored unless quantize='int8'.
 
         max_in_flight: bound on outstanding run() dispatches (default
         MAX_IN_FLIGHT=3). Unbounded async dispatch would hold every
@@ -150,6 +169,8 @@ class MaskPipeline:
             raise ValueError("quantize='int8' requires eval_mode=True "
                              "(the quantized forward has no dropout)")
         self.quantize = quantize
+        self._calib = calib if quantize else None
+        self.separate = separate   # needed by update_params calibration
         self.wire = wire
         self.hard_threshold = (float(hard_threshold)
                                if hard_threshold is not None else None)
@@ -358,8 +379,20 @@ class MaskPipeline:
             # f32 kernels never reach the device (ops/quant.py). The
             # leading ensemble seed axis passes through (negative-axis
             # reductions), so ensemble + int8 composes
-            from cgs_tpu.ops.quant import quantize_tree
+            from cgs_tpu.ops.quant import (calibrate_act_scales,
+                                           merge_act_scales,
+                                           quantize_tree)
+            scales = None
+            if self._calib is not None and not self.ensemble:
+                # static activation scales from the raw f32 params
+                # (the ensemble's per-seed calibration would need a
+                # vmapped eager tap — dynamic scales there instead)
+                scales = calibrate_act_scales(
+                    params, self._calib, separate=self.separate,
+                    compute_dtype=self.critic.compute_dtype)
             params = quantize_tree(params)
+            if scales is not None:
+                params = merge_act_scales(params, scales)
         if self.mesh is not None:
             if self.ensemble:
                 from cgs_tpu.parallel.mesh import seed_shard_tree

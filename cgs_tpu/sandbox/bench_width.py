@@ -78,14 +78,17 @@ def _init_params(critic, masker):
 
 def bench_inference(chfak: int, dropout: float, batch: int,
                     n_iter: int, bf16: bool,
-                    pallas_upsample=None, quantize=None) -> dict:
+                    pallas_upsample=None, quantize=None,
+                    calibrated=False) -> dict:
     """Device-resident -process throughput (bench.py methodology:
     median of 3 groups of n_iter async dispatches, checksum sync).
     pallas_upsample: None = decoder auto (off on TPU), True/False
     forces the ops/pallas_upsample.py path — the width-1 "Pallas
     upsample loses at the layout seam" verdict re-check.
     quantize: None or 'int8' — the ops/quant.py serving path (the
-    1.52x isolated-conv probe, measured end-to-end here)."""
+    1.52x isolated-conv probe, measured end-to-end here);
+    calibrated=True bakes static activation scales from a 512-frame
+    batch (else dynamic per-dispatch scales)."""
     import jax
     import jax.numpy as jnp
     from cgs_tpu.pipeline import MaskPipeline
@@ -94,9 +97,13 @@ def bench_inference(chfak: int, dropout: float, batch: int,
     critic, masker = _models(chfak, dropout, dtype,
                              pallas_upsample=pallas_upsample)
     cp, mp = _init_params(critic, masker)
+    calib = None
+    if quantize and calibrated:
+        calib = np.random.default_rng(2).integers(
+            0, 256, (512, 64, 64, 3), dtype=np.uint8)
     pipe = MaskPipeline(critic, masker, {"critic": cp, "masker": mp},
                         batch_size=batch, with_checksum=True,
-                        quantize=quantize)
+                        quantize=quantize, calib=calib)
     frames = jax.jit(
         lambda k: jax.random.randint(k, (batch, 64, 64, 3), 0, 256,
                                      dtype=jnp.uint8)
@@ -122,6 +129,7 @@ def bench_inference(chfak: int, dropout: float, batch: int,
         out["pallas_upsample"] = bool(pallas_upsample)
     if quantize is not None:
         out["quantize"] = quantize
+        out["act_scales"] = "static" if calibrated else "dynamic"
     return out
 
 
@@ -233,9 +241,9 @@ def main(argv=None):
             results.append(r)
             print(json.dumps(r), flush=True)
     if a.int8_ab:
-        for q in (None, "int8"):
+        for q, cal in ((None, False), ("int8", False), ("int8", True)):
             r = bench_inference(a.chfak, a.dropout, batch, a.iters,
-                                True, quantize=q)
+                                True, quantize=q, calibrated=cal)
             results.append(r)
             print(json.dumps(r), flush=True)
     if not a.skip_training:

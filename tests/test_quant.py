@@ -138,6 +138,42 @@ def test_pipeline_int8_ensemble(setup):
     assert np.max(np.abs(a.masks - b.masks)) < 3e-2
 
 
+def test_pipeline_int8_static_scales(setup):
+    """calib=frames bakes static activation scales; accuracy holds on
+    in-distribution data (scales are maxima from the same family)."""
+    critic, masker, params, _ = setup
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, (12, 64, 64, 3), dtype=np.uint8)
+    calib = rng.integers(0, 256, (32, 64, 64, 3), dtype=np.uint8)
+    ref = MaskPipeline(critic, masker, params, batch_size=8)
+    qs = MaskPipeline(critic, masker, params, batch_size=8,
+                      quantize="int8", calib=calib)
+    a, b = ref.run(frames), qs.run(frames)
+    assert np.max(np.abs(a.masks - b.masks)) < 3e-2
+    assert np.mean((a.masks >= 0.5) == (b.masks >= 0.5)) > 0.995
+    # the quantized tree carries the baked scalars
+    assert "act_scale" in qs.params["masker"]["mask0"]
+
+
+def test_quantize_tree_only_subset(setup):
+    """`only` quantizes a subset; the int8 forward falls back to the
+    exact f32 conv per unquantized leaf — with an empty subset the
+    int8 path IS the f32 skeleton (bit-identical to flax)."""
+    critic, masker, params, x = setup
+    q = quantize_tree(params, only={"mask0", "mask1"})
+    assert q["masker"]["mask0"]["kernel"].dtype == jnp.int8
+    assert q["masker"]["dec0"]["kernel"].dtype == jnp.float32
+    assert "kernel_scale" not in q["masker"]["dec0"]
+    q0 = quantize_tree(params, only=set())
+    pred_ref, em_ref = critic.apply({"params": params["critic"]}, x,
+                                    collect=True)
+    mask_ref = masker.apply({"params": params["masker"]}, x, em_ref)
+    pred, em = critic_apply_q(q0["critic"], x, mode="int8")
+    mask = masker_apply_q(q0["masker"], x, em, mode="int8")
+    np.testing.assert_array_equal(np.asarray(pred_ref), np.asarray(pred))
+    np.testing.assert_array_equal(np.asarray(mask_ref), np.asarray(mask))
+
+
 def test_pipeline_int8_guards(setup):
     critic, masker, params, _ = setup
     with pytest.raises(ValueError, match="saliency"):
