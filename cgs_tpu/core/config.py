@@ -139,6 +139,10 @@ class Config:
                                  # nonstationary background — the
                                  # ablation-ordering fixture)
     contrastive_min: int = 500   # min pos/neg frames (main.py:281)
+    critic_lr_scale: float = 1.0  # masker-phase critic update scale
+                                 # (extension; 1.0 = exact reference
+                                 # dynamics, 0.0 = immovable critic;
+                                 # train/steps.py:make_optimizer)
     profile: str = ""            # xplane trace dir (jax.profiler)
     crf_rescale: bool = False    # per-frame mask rescale before CRF
     eval_video_max_frames: int = 0  # cap frames in eval comparison
@@ -277,6 +281,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-variant", type=str, default="easy",
                    choices=("easy", "hard"))
     p.add_argument("--contrastive-min", type=int, default=500)
+    p.add_argument("--critic-lr-scale", type=float, default=1.0)
     p.add_argument("--infer-batch", type=int, default=0)
     p.add_argument("--profile", type=str, default="")
     p.add_argument("-debug_nan", action="store_true")

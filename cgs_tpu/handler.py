@@ -381,7 +381,7 @@ class Handler:
         if cfg.directeval:                    # main.py:337-338
             self.eval()
 
-        tx = make_optimizer()
+        tx = make_optimizer(cfg.critic_lr_scale)
         trained = trained_param_keys(cfg)
         state = self._replicate(
             init_train_state(dict(self.params), tx, trained))

@@ -176,7 +176,7 @@ def run_variant(cfg, x_eval, gt_eval, eval_thresh: float = 0.05,
 
     # masker loop == handler.segmentation_training's schedule
     # (derived per-(epoch, step) RNG; citations there)
-    tx = make_optimizer()
+    tx = make_optimizer(cfg.critic_lr_scale)
     state = init_train_state(dict(handler.params), tx,
                              trained_param_keys(cfg))
     chunk_fn = make_masker_chunk(cfg, handler.critic, handler.masker,

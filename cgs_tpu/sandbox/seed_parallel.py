@@ -468,7 +468,7 @@ def run_parallel(cfg, x, y, runs: int, base_seed: int = 0,
         neg_lists.append(neg.astype(np.int32))
 
     # ---- phase 2: masker (main.py:314-575) ---------------------------
-    tx2 = make_optimizer()
+    tx2 = make_optimizer(cfg.critic_lr_scale)
     trained = trained_param_keys(cfg)
     mstate = init_seed_state(dict(params), tx2, trained)
     mchunk = make_seeded_masker_chunk(cfg, critic, masker, tx2,

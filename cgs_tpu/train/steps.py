@@ -53,10 +53,33 @@ class TrainState:
     step: Array
 
 
-def make_optimizer() -> optax.GradientTransformation:
+def make_optimizer(critic_update_scale: float = 1.0,
+                   ) -> optax.GradientTransformation:
     """torch.optim.Adam defaults (main.py:178,331 pass no lr):
-    lr=1e-3, betas=(0.9, 0.999), eps=1e-8."""
-    return optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    lr=1e-3, betas=(0.9, 0.999), eps=1e-8.
+
+    critic_update_scale (framework extension, `--critic-lr-scale`,
+    masker phase only — no reference analogue): multiply the CRITIC
+    subtree's updates by a constant. 1.0 (default) is the exact
+    reference parity path (plain Adam, bit-identical); 0.0 makes the
+    live critic's params immovable (== `-frozen` dynamics with the
+    optimizer still stepping); intermediate values slow the critic's
+    prediction-invariant feature walk that collapses the full model
+    at long masker horizons (RESULTS.md "The collapse mechanism,
+    measured"). The mask keys off the top-level 'critic' entry of
+    whatever target the optimizer was init'd with, so it is a no-op
+    for -frozen/-separate states that do not train the critic, and it
+    rides the seed axis under the vmapped seed-parallel trainer."""
+    adam = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    if critic_update_scale == 1.0:
+        return adam
+
+    def critic_mask(params):
+        return {k: jax.tree.map(lambda _: k == "critic", v)
+                for k, v in params.items()}
+
+    return optax.chain(adam, optax.masked(
+        optax.scale(float(critic_update_scale)), critic_mask))
 
 
 def trained_param_keys(cfg) -> list:

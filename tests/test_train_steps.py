@@ -129,6 +129,65 @@ def test_stop_gradients_block_targets(rng):
     assert float(metrics["norm"]) == 0.0
 
 
+def test_critic_lr_scale_semantics(rng):
+    """--critic-lr-scale (extension, train/steps.py:make_optimizer):
+    1.0 must be the bit-exact reference optimizer; 0.0 must leave the
+    live critic immovable while the masker trains; 0.5 must exactly
+    halve the critic's first-step delta (same fresh Adam state) and
+    leave the masker's delta untouched."""
+    cfg = Config(shift=0, dropout=0.0).derive()
+    assert cfg.live
+    critic, masker, params = build(cfg)
+    a, y, b = batch(rng)
+    before = snapshot(params)
+
+    def one_step(scale):
+        tx = make_optimizer(scale)
+        # fresh device copies per run: the step donates its state,
+        # so reusing one params dict across runs passes deleted
+        # buffers on the second call
+        fresh = jax.tree.map(jnp.asarray, before)
+        state = init_train_state(fresh, tx, ["masker", "critic"])
+        step = make_masker_step(cfg, critic, masker, tx)
+        new_state, _ = step(state, a, y, b, KEY)
+        return new_state.params
+
+    ref = one_step(1.0)          # plain adam (identity fast path)
+    p0 = one_step(0.0)
+    p5 = one_step(0.5)
+
+    assert not tree_equal(ref["critic"], before["critic"])
+    assert tree_equal(p0["critic"], before["critic"])     # immovable
+    assert not tree_equal(p0["masker"], before["masker"])  # trains
+    # masker untouched by the critic mask
+    for l1, l2 in zip(jax.tree.leaves(ref["masker"]),
+                      jax.tree.leaves(p5["masker"])):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    # first-step critic delta exactly halves
+    for l1, l5, lb in zip(jax.tree.leaves(ref["critic"]),
+                          jax.tree.leaves(p5["critic"]),
+                          jax.tree.leaves(before["critic"])):
+        # the two runs are separately-compiled programs; allow float
+        # reassociation noise around the exact halving
+        np.testing.assert_allclose(np.asarray(l5) - np.asarray(lb),
+                                   (np.asarray(l1) - np.asarray(lb))
+                                   / 2.0, rtol=1e-3, atol=1e-7)
+
+
+def test_critic_lr_scale_noop_without_critic(rng):
+    """With -frozen the optimizer target has no 'critic' entry; the
+    masked scale must be a structural no-op, not an error."""
+    cfg = Config(shift=0, dropout=0.0, frozen=True).derive()
+    critic, masker, params = build(cfg)
+    before = snapshot(params)          # before the donating step
+    tx = make_optimizer(0.25)
+    state = init_train_state(params, tx, ["masker"])
+    step = make_masker_step(cfg, critic, masker, tx)
+    a, y, b = batch(rng)
+    new_state, _ = step(state, a, y, b, KEY)
+    assert not tree_equal(new_state.params["masker"], before["masker"])
+
+
 def test_masker_nonstatic_norm(rng):
     cfg = Config(shift=0, dropout=0.0).derive()
     cfg2 = dataclasses.replace(cfg, staticnorm=False)
