@@ -17,6 +17,12 @@ Usage (one command reproduces the RESULTS.md tables):
         --synthetic-variant hard --datasize 20000 --cepochs 10 \
         --mepochs 12 --model abl
 
+Optional: `--base-seed 10` trains seeds 10-19 (the second decade of
+a 20-seed paired table); `--slow-critic 0.1` adds a fifth paired
+'slow' cell — the full model with `--critic-lr-scale 0.1`, the
+drift-rescue configuration (RESULTS.md "the mechanism is
+actionable").
+
 Each variant trains as one vmapped/seed-sharded program (seed axis
 over the mesh when available), saves per-seed checkpoints under
 `{model}-{variant}-seed{s}/saves/`, and appends its row to
@@ -62,7 +68,7 @@ def _with_variant(argv: List[str], variant: str) -> List[str]:
             break
     else:
         out += ["--model", f"ablation-{variant}"]
-    return out + VARIANT_FLAGS[variant]
+    return out + VARIANT_FLAGS.get(variant, [])
 
 
 def paired_summary(results: Dict[str, dict]) -> str:
@@ -97,19 +103,28 @@ def paired_summary(results: Dict[str, dict]) -> str:
 def run_ablation(argv: List[str], runs: int,
                  variants: Sequence[str] = tuple(VARIANT_FLAGS),
                  results_path: Optional[str] = "results.txt",
+                 slow_critic: Optional[float] = None,
                  ) -> Dict[str, dict]:
     """Train `runs` seeds of every variant (seed_parallel.main per
     variant — same base seeds across variants by construction) and
     append the paired summary to results_path. Returns
-    {variant: seed_parallel output}."""
+    {variant: seed_parallel output}.
+
+    slow_critic: also train a fifth 'slow' variant — the full model
+    with `--critic-lr-scale S` (the drift-rescue knob; RESULTS.md
+    "the mechanism is actionable"). Paired like the others."""
     from cgs_tpu.sandbox import seed_parallel
 
     _reject_variant_flags(argv)
     if "full" not in variants:
         raise SystemExit("the paired summary needs the 'full' baseline")
+    extra = {}
+    if slow_critic is not None:
+        extra["slow"] = ["--critic-lr-scale", str(float(slow_critic))]
     results: Dict[str, dict] = {}
-    for variant in variants:
+    for variant in list(variants) + sorted(extra):
         vargv = _with_variant(argv, variant) + ["--runs", str(runs)]
+        vargv += extra.get(variant, [])
         print(f"[ablation] {variant}: {' '.join(vargv)}", flush=True)
         results[variant] = seed_parallel.main(vargv)
 
@@ -122,14 +137,27 @@ def run_ablation(argv: List[str], runs: int,
 
 
 def main(argv: Optional[List[str]] = None) -> Dict[str, dict]:
-    """`python -m cgs_tpu.sandbox.ablation --runs N <cli args>`."""
+    """`python -m cgs_tpu.sandbox.ablation --runs N [--slow-critic S]
+    [--base-seed B] <cli args>` (--base-seed passes through to
+    seed_parallel — the second decade of a 20-seed paired table is
+    `--base-seed 10`)."""
     import sys
 
     from cgs_tpu.sandbox.multirun import pop_runs
 
     argv = list(argv if argv is not None else sys.argv[1:])
     runs = pop_runs(argv)
-    return run_ablation(argv, runs)
+    slow = None
+    for i, tok in enumerate(list(argv)):     # --slow-critic S | =S
+        if tok == "--slow-critic" and i + 1 < len(argv):
+            slow = float(argv[i + 1])
+            del argv[i:i + 2]
+            break
+        if tok.startswith("--slow-critic="):
+            slow = float(tok.split("=", 1)[1])
+            del argv[i]
+            break
+    return run_ablation(argv, runs, slow_critic=slow)
 
 
 if __name__ == "__main__":

@@ -589,13 +589,18 @@ def main(argv: Optional[List[str]] = None) -> dict:
             f"--chunk-steps must be >= 1 (got {chunk_steps}): 0 would "
             "crash inside run_parallel's range() and a negative value "
             "would silently skip all training")
+    # --base-seed: train seeds [base, base+runs) — the second decade
+    # of a 20-seed paired table is `--base-seed 10` (run_parallel
+    # stamps {model}-seed{base+r}, matching load_seed_ensemble's
+    # base_seed)
+    base_seed = pop_int(argv, "--base-seed", 0)
     cfg = parse_args(argv)
     x, y, _ = collect_data(cfg)
     x_eval, gt = synthetic_eval_set(
         n_frames=5000, seed=99,
         variant=getattr(cfg, "synthetic_variant", "easy"))
     x_eval, gt = x_eval[100:5000:2], gt[100:5000:2]  # main.py:927-928
-    out = run_parallel(cfg, x, y, runs,
+    out = run_parallel(cfg, x, y, runs, base_seed=base_seed,
                        mesh=local_mesh_or_none(cfg),
                        x_eval=x_eval, gt_eval=gt,
                        chunk_steps=chunk_steps,

@@ -59,6 +59,52 @@ def test_run_ablation_paired_flow(monkeypatch, tmp_path):
     assert out["full"]["ious"] == IOUS["full"]
 
 
+def test_slow_critic_fifth_variant(monkeypatch, tmp_path):
+    """--slow-critic S adds a paired 'slow' cell: full's flags plus
+    --critic-lr-scale S, suffixed model, included in the summary."""
+    calls = []
+    from cgs_tpu.sandbox import seed_parallel
+
+    def fake_main(argv):
+        calls.append(list(argv))
+        if "--critic-lr-scale" in argv:
+            return {"ious": [0.65, 0.72, 0.6]}
+        present = [v for v, fs in ablation.VARIANT_FLAGS.items()
+                   if fs and set(fs) <= set(argv)]
+        return {"ious": IOUS[present[0] if present else "full"]}
+
+    monkeypatch.setattr(seed_parallel, "main", fake_main)
+    results_path = str(tmp_path / "results.txt")
+    out = ablation.main(["--runs", "3", "-synthetic_data",
+                         "--model", "abl", "--slow-critic", "0.1"])
+    assert len(calls) == 5
+    slow_call = calls[-1]
+    assert slow_call[slow_call.index("--model") + 1] == "abl-slow"
+    i = slow_call.index("--critic-lr-scale")
+    assert slow_call[i + 1] == "0.1"
+    # no ablation flag leaks into the slow cell (it is full + knob)
+    for flags in ablation.VARIANT_FLAGS.values():
+        for f in flags:
+            assert f not in slow_call
+    assert out["slow"]["ious"] == [0.65, 0.72, 0.6]
+    assert "slow" in ablation.paired_summary(out)
+
+
+def test_base_seed_passes_through(monkeypatch):
+    """--base-seed rides the per-variant argv into seed_parallel (which
+    pops it before parse_args) — the second decade of a 20-seed table
+    needs no ad-hoc script."""
+    calls = []
+    from cgs_tpu.sandbox import seed_parallel
+    monkeypatch.setattr(seed_parallel, "main",
+                        _fake_seed_parallel(calls, IOUS))
+    ablation.run_ablation(
+        ["-synthetic_data", "--model", "abl", "--base-seed", "10"],
+        runs=3, results_path=None)
+    for argv in calls:
+        assert argv[argv.index("--base-seed") + 1] == "10"
+
+
 def test_paired_summary_math():
     res = {v: {"ious": IOUS[v]} for v in IOUS}
     s = ablation.paired_summary(res)
